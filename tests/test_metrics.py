@@ -1,0 +1,162 @@
+"""Hand-computed golden values + algorithm-semantics tests for the COCO
+caption metrics, plus an exact-parity test against pycocoevalcap that runs
+automatically wherever that package is installed."""
+
+import math
+
+import numpy as np
+import pytest
+
+from gpt2_image_captioning_tpu.evaluation.metrics import Bleu, Cider, Rouge, _closest_reflen, _lcs_len
+from gpt2_image_captioning_tpu.evaluation.evaluate import (
+    EvalMetrics,
+    compute_caption_metrics,
+    evaluate_captions,
+    load_coco_references,
+)
+
+
+def test_perfect_match_two_images():
+    gts = {1: ["a b"], 2: ["c d"]}
+    res = {1: ["a b"], 2: ["c d"]}
+
+    bleu, per_item = Bleu(4).compute_score(gts, res)
+    assert bleu[0] == pytest.approx(1.0, abs=1e-6)
+    assert bleu[1] == pytest.approx(1.0, abs=1e-6)
+    # no 3/4-grams exist: correct=0, guess=0 -> (tiny/small)^... smoothing
+    assert bleu[2] == pytest.approx((1e-15 / 1e-9) ** (1 / 3), rel=1e-3)
+    assert bleu[3] == pytest.approx((1e-15 / 1e-9) ** (2 / 4), rel=1e-3)
+    assert len(per_item[0]) == 2
+
+    rouge, rouge_items = Rouge().compute_score(gts, res)
+    assert rouge == pytest.approx(1.0)
+    np.testing.assert_allclose(rouge_items, [1.0, 1.0])
+
+    # Hand-derived: idf = log 2 for every ngram; 1/2-gram cosines are 1,
+    # 3/4-gram components 0 -> mean 0.5, x10 = 5.0 per image.
+    cider, cider_items = Cider().compute_score(gts, res)
+    assert cider == pytest.approx(5.0, rel=1e-9)
+    np.testing.assert_allclose(cider_items, [5.0, 5.0])
+
+
+def test_cider_single_image_is_zero():
+    # With one image, ref_len = log(1) = 0 and df = 1 for every ngram, so all
+    # tf-idf vectors vanish — pycocoevalcap yields exactly 0 here too.
+    cider, _ = Cider().compute_score({1: ["a b c"]}, {1: ["a b c"]})
+    assert cider == 0.0
+
+
+def test_bleu_brevity_penalty():
+    gts = {1: ["the cat sat on the mat"]}
+    res = {1: ["the cat"]}
+    bleu, _ = Bleu(4).compute_score(gts, res)
+    # precision 1, ratio 2/6 -> exp(1 - 3)
+    assert bleu[0] == pytest.approx(math.exp(-2.0), rel=1e-6)
+
+
+def test_bleu_modified_precision_clipping():
+    # candidate repeats "the"; ref max count for "the" is 2
+    gts = {1: ["the cat the mat"]}
+    res = {1: ["the the the the"]}
+    bleu, _ = Bleu(1).compute_score(gts, res)
+    assert bleu[0] == pytest.approx(2.0 / 4.0, rel=1e-6)
+
+
+def test_closest_reflen_tie_prefers_shorter():
+    assert _closest_reflen([2, 4], 3) == 2
+    assert _closest_reflen([4, 2], 3) == 2
+    assert _closest_reflen([5, 9], 6) == 5
+
+
+def test_rouge_hand_value():
+    score = Rouge().calc_score(["the cat"], ["the cat sat on the mat"])
+    prec, rec, b2 = 1.0, 2.0 / 6.0, 1.2**2
+    expected = (1 + b2) * prec * rec / (rec + b2 * prec)
+    assert score == pytest.approx(expected, rel=1e-9)
+
+
+def test_rouge_split_space_quirk():
+    # pycocoevalcap uses split(" ") so double spaces create empty tokens,
+    # inflating the candidate token count.
+    s_single = Rouge().calc_score(["a b"], ["a b"])
+    s_double = Rouge().calc_score(["a  b"], ["a b"])
+    assert s_single == pytest.approx(1.0)
+    assert s_double < s_single
+
+
+def test_rouge_max_over_refs():
+    score = Rouge().calc_score(["a b c"], ["x y z", "a b c"])
+    assert score == pytest.approx(1.0)
+
+
+def test_lcs():
+    assert _lcs_len("a b c d".split(), "b d".split()) == 2
+    assert _lcs_len([], ["a"]) == 0
+    assert _lcs_len("x a y b z".split(), "a b".split()) == 2
+
+
+def test_cider_length_penalty_direction():
+    gts = {1: ["a b c d"], 2: ["p q r s"]}
+    equal_len = Cider().compute_score(gts, {1: ["a b c d"], 2: ["p q r s"]})[0]
+    # same content but hypothesis for image 1 longer (delta != 0 penalizes)
+    longer = Cider().compute_score(gts, {1: ["a b c d a b c d"], 2: ["p q r s"]})[0]
+    assert longer < equal_len
+
+
+def test_compute_caption_metrics_intersection():
+    preds = {1: ["a b"], 99: ["zzz"]}
+    refs = {1: ["a b"], 2: ["c d"]}
+    m = compute_caption_metrics(preds, refs)
+    assert isinstance(m, EvalMetrics)
+    assert m.bleu_1 == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        compute_caption_metrics({5: ["x"]}, {6: ["y"]})
+
+
+def test_evaluate_captions_and_load_refs(tmp_path):
+    import json
+
+    ann = {
+        "images": [{"id": 1}, {"id": 2}],
+        "annotations": [
+            {"image_id": 1, "caption": "a cat on a mat"},
+            {"image_id": 1, "caption": "a cat sitting"},
+            {"image_id": 2, "caption": "a dog"},
+        ],
+    }
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    refs = load_coco_references(str(p))
+    assert refs == {1: ["a cat on a mat", "a cat sitting"], 2: ["a dog"]}
+    m = evaluate_captions(
+        [{"image_id": 1, "caption": "a cat on a mat"}, {"image_id": 2, "caption": "a dog"}],
+        str(p),
+    )
+    assert m.bleu_1 > 0.9
+    assert str(m)  # formats
+
+
+def test_parity_with_pycocoevalcap_if_available():
+    pyco_bleu = pytest.importorskip("pycocoevalcap.bleu.bleu")
+    from pycocoevalcap.cider.cider import Cider as PCider
+    from pycocoevalcap.rouge.rouge import Rouge as PRouge
+
+    gts = {
+        1: ["a man riding a wave on a surfboard", "a surfer rides the ocean wave"],
+        2: ["two dogs play in the grass", "dogs playing outside"],
+        3: ["a red bus parked on the street", "the bus is red"],
+    }
+    res = {
+        1: ["a man riding a wave on top of a surfboard"],
+        2: ["a dog playing in the grass"],
+        3: ["a red bus on a street"],
+    }
+    ours_b, _ = Bleu(4).compute_score(gts, res)
+    ref_b, _ = pyco_bleu.Bleu(4).compute_score(gts, res)
+    np.testing.assert_allclose(ours_b, ref_b, rtol=1e-12)
+    ours_r, _ = Rouge().compute_score(gts, res)
+    ref_r, _ = PRouge().compute_score(gts, res)
+    assert ours_r == pytest.approx(ref_r, rel=1e-12)
+    ours_c, _ = Cider().compute_score(gts, res)
+    ref_c, _ = PCider().compute_score(gts, res)
+    assert ours_c == pytest.approx(ref_c, rel=1e-12)
