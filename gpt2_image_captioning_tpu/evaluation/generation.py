@@ -1,0 +1,189 @@
+"""Batched caption generation + evaluation driver.
+
+The reference iterates caption-level batches, generates with an uncached
+Python loop, and dedups first-seen image ids (``src/eval.py:160-229``).  Here:
+
+- batches are built over **unique images** up front (identical output set,
+  ~5× less decode work on COCO's ~5 captions/image),
+- every batch has the same static shape (last batch padded + ``valid`` mask),
+  so the whole decode loop is **one compiled XLA program** reused across
+  batches — KV-cached, early-exiting (``models.captioner.generate``),
+- decoding modes: greedy / top-p sampling (reference semantics) and beam
+  search (capability add).
+
+Also provides ``generate_test_caption_predictions`` (the reference's
+``src/test.py:11-82``): dump COCO-format ``results.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from gpt2_image_captioning_tpu.evaluation.evaluate import (
+    EvalMetrics,
+    evaluate_captions,
+    save_epoch_artifacts,
+)
+from gpt2_image_captioning_tpu.models import captioner as C
+
+
+def generate_predictions(
+    model,
+    dataset,
+    *,
+    batch_size: int = 32,
+    max_length: int = 50,
+    temperature: float = 0.0,
+    top_p: float = 0.9,
+    decode: str = "sample",
+    beam_size: int = 4,
+    rng: jax.Array | None = None,
+    verbose: bool = True,
+) -> list[dict[str, Any]]:
+    """Generate one caption per unique image → ``[{"image_id", "caption"}]``.
+
+    ``decode="sample"`` reproduces the reference's temperature/top-p dispatch
+    (greedy when temperature == 0); ``decode="beam"`` uses beam search.
+    """
+    tokenizer = dataset.tokenizer
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    predictions: list[dict[str, Any]] = []
+    n_batches = 0
+    t0 = time.perf_counter()
+    for i, batch in enumerate(dataset.unique_image_batches(batch_size)):
+        if decode == "beam":
+            ids = C.beam_generate(
+                model.trainable,
+                model.frozen,
+                model.cfg,
+                batch["image_embedding"],
+                max_length=max_length,
+                beam_size=beam_size,
+                policy=model.policy,
+            )
+        else:
+            ids = C.generate(
+                model.trainable,
+                model.frozen,
+                model.cfg,
+                batch["image_embedding"],
+                max_length=max_length,
+                temperature=temperature,
+                top_p=top_p,
+                rng=jax.random.fold_in(rng, i),
+                policy=model.policy,
+            )
+        captions = tokenizer.batch_decode(np.asarray(ids), skip_special_tokens=True)
+        for img_id, caption, valid in zip(batch["image_id"], captions, batch["valid"]):
+            if valid:
+                predictions.append({"image_id": int(img_id), "caption": caption})
+        n_batches += 1
+    if verbose:
+        dt = time.perf_counter() - t0
+        print(
+            f"Generated {len(predictions)} captions in {dt:.1f}s "
+            f"({len(predictions) / max(dt, 1e-9):.1f} img/s, {n_batches} batches)"
+        )
+    return predictions
+
+
+def generate_and_evaluate(
+    model,
+    dataset,
+    annotations_path: str,
+    batch_size: int = 32,
+    max_length: int = 50,
+    temperature: float = 1.0,
+    top_p: float = 0.9,
+    decode: str = "sample",
+    beam_size: int = 4,
+    rng: jax.Array | None = None,
+    **_ignored,
+) -> tuple[list[dict[str, Any]], EvalMetrics]:
+    """Generate for the whole dataset, then score (reference
+    ``src/eval.py:160-229``)."""
+    predictions = generate_predictions(
+        model,
+        dataset,
+        batch_size=batch_size,
+        max_length=max_length,
+        temperature=temperature,
+        top_p=top_p,
+        decode=decode,
+        beam_size=beam_size,
+        rng=rng,
+    )
+    metrics = evaluate_captions(predictions, annotations_path)
+    return predictions, metrics
+
+
+def evaluate_epoch(
+    model,
+    dataset,
+    annotations_path: str,
+    epoch: int,
+    split_name: str,
+    batch_size: int = 32,
+    max_length: int = 50,
+    temperature: float = 1.0,
+    top_p: float = 0.9,
+    output_dir: str = "eval_results",
+    decode: str = "sample",
+    beam_size: int = 4,
+    rat: bool = False,
+    **_ignored,
+) -> EvalMetrics:
+    """Per-epoch eval with the reference's artifact naming
+    (``epoch_{n}_{split}_predictions[_rat].json`` etc., ``src/eval.py:368-386``)."""
+    print(f"\n{'=' * 60}\nEpoch {epoch} | {split_name.upper()} Evaluation\n{'=' * 60}")
+    predictions, metrics = generate_and_evaluate(
+        model,
+        dataset,
+        annotations_path,
+        batch_size=batch_size,
+        max_length=max_length,
+        temperature=temperature,
+        top_p=top_p,
+        decode=decode,
+        beam_size=beam_size,
+    )
+    print(f"\nResults: {metrics}")
+    save_epoch_artifacts(predictions, metrics, output_dir, epoch, split_name, rat=rat)
+    return metrics
+
+
+def generate_test_caption_predictions(
+    model,
+    dataset,
+    output_path: str = "results.json",
+    batch_size: int = 32,
+    max_length: int = 50,
+    temperature: float = 0.0,
+    top_p: float = 0.9,
+    decode: str = "sample",
+    beam_size: int = 4,
+) -> list[dict[str, Any]]:
+    """Dump COCO-schema predictions ``[{"image_id": int, "caption": str}]``
+    (reference ``src/test.py:11-82``; same schema as
+    ``sample_output/results.json``)."""
+    predictions = generate_predictions(
+        model,
+        dataset,
+        batch_size=batch_size,
+        max_length=max_length,
+        temperature=temperature,
+        top_p=top_p,
+        decode=decode,
+        beam_size=beam_size,
+    )
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    with open(output_path, "w") as f:
+        json.dump(predictions, f, indent=2)
+    print(f"Predictions saved to: {output_path}")
+    return predictions

@@ -1,0 +1,388 @@
+"""The end-to-end image-captioning model: mapping network + GPT-2 decoder.
+
+Capability-parity with the reference's ``ImageCaptioningModel``
+(``src/models.py:177-547``) — prefix conditioning, optional learnable
+task-prompt prefix, frozen/unfrozen GPT-2, teacher-forced loss, generation,
+partial checkpointing — re-designed TPU-first:
+
+- Parameters are split into a **trainable** pytree and a **frozen** pytree
+  (instead of ``requires_grad`` flags); ``jax.grad`` differentiates only the
+  trainable side, and checkpoints store exactly the trainable side plus any
+  non-GPT extras — the same artifact semantics as the reference's
+  ``save_parameters`` (``src/models.py:489-519``).
+- ``generate`` compiles the **whole decode loop** into one XLA program:
+  KV-cached prefill + ``lax.while_loop`` with early exit when every sequence
+  has emitted EOS — versus the reference's per-step Python loop that
+  re-forwards the full sequence without a cache (``src/models.py:389-469``).
+- Beam search (a capability the reference lacks; driver config ③) runs as a
+  ``lax.scan`` with per-step beam gathering of the KV cache.
+
+The class is a thin stateful façade for API familiarity; all compute lives in
+pure jittable functions that the training loop uses directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpt2_image_captioning_tpu.core.precision import F32, Policy
+from gpt2_image_captioning_tpu.models import gpt2 as G
+from gpt2_image_captioning_tpu.models import mapping as M
+from gpt2_image_captioning_tpu.ops.sampling import sample_token
+
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptionerConfig:
+    gpt2: G.GPT2Config
+    mapping: M.MappingConfig
+    # token ids of the optional task prompt (tokenized once at construction;
+    # the embeddings become trainable parameters initialized from wte)
+    task_prompt_ids: tuple[int, ...] | None = None
+    freeze_gpt_weights: bool = True
+    eos_token_id: int = 50256
+
+    @property
+    def image_prefix_length(self) -> int:
+        return self.mapping.prefix_length
+
+    @property
+    def total_prefix_length(self) -> int:
+        extra = len(self.task_prompt_ids) if self.task_prompt_ids else 0
+        return self.mapping.prefix_length + extra
+
+
+# ---------------------------------------------------------------------------
+# Init / parameter partitioning
+# ---------------------------------------------------------------------------
+
+def init_params(
+    rng: jax.Array, cfg: CaptionerConfig, gpt_params: dict | None = None
+) -> tuple[dict, dict]:
+    """Returns (trainable, frozen) pytrees.
+
+    ``gpt_params`` carries pretrained GPT-2 weights (ported via
+    models/porting.py); if None the decoder is randomly initialized (tests,
+    from-scratch runs).
+    """
+    k_map, k_gpt = jax.random.split(rng)
+    mapping_params = M.init_mapping(k_map, cfg.mapping)
+    gpt_params = gpt_params if gpt_params is not None else G.init(k_gpt, cfg.gpt2)
+
+    trainable: dict[str, Any] = {"mapping": mapping_params}
+    if cfg.task_prompt_ids:
+        # learnable task prefix initialized from the prompt's token embeddings
+        # (reference src/models.py:219-235)
+        ids = jnp.asarray(cfg.task_prompt_ids, dtype=jnp.int32)
+        trainable["task_prefix"] = jnp.take(gpt_params["wte"], ids, axis=0)
+
+    frozen: dict[str, Any] = {}
+    if cfg.freeze_gpt_weights:
+        frozen["gpt"] = gpt_params
+    else:
+        trainable["gpt"] = gpt_params
+    return trainable, frozen
+
+
+def partition_specs(cfg: CaptionerConfig) -> tuple[dict, dict]:
+    """(trainable, frozen) PartitionSpec pytrees matching init_params."""
+    from jax.sharding import PartitionSpec as P
+
+    trainable: dict[str, Any] = {"mapping": M.mapping_partition_specs(cfg.mapping)}
+    if cfg.task_prompt_ids:
+        trainable["task_prefix"] = P()
+    frozen: dict[str, Any] = {}
+    gpt_specs = G.partition_specs(cfg.gpt2)
+    if cfg.freeze_gpt_weights:
+        frozen["gpt"] = gpt_specs
+    else:
+        trainable["gpt"] = gpt_specs
+    return trainable, frozen
+
+
+def _gpt(trainable: dict, frozen: dict) -> dict:
+    return frozen["gpt"] if "gpt" in frozen else trainable["gpt"]
+
+
+# ---------------------------------------------------------------------------
+# Forward (teacher forcing)
+# ---------------------------------------------------------------------------
+
+def build_prefix(
+    trainable: dict,
+    cfg: CaptionerConfig,
+    image_embeddings: jnp.ndarray,
+    policy: Policy = F32,
+) -> jnp.ndarray:
+    """Image embeddings → (B, total_prefix_length, gpt_dim) prefix tokens
+    (mapping output ⧺ broadcast task prefix, reference order
+    ``src/models.py:277-280``)."""
+    prefix = M.apply_mapping(trainable["mapping"], cfg.mapping, image_embeddings, policy)
+    if "task_prefix" in trainable:
+        b = image_embeddings.shape[0]
+        task = jnp.broadcast_to(
+            trainable["task_prefix"].astype(prefix.dtype),
+            (b, *trainable["task_prefix"].shape),
+        )
+        prefix = jnp.concatenate([prefix, task], axis=1)
+    return prefix
+
+
+def loss_fn(
+    trainable: dict,
+    frozen: dict,
+    cfg: CaptionerConfig,
+    batch: dict,
+    policy: Policy = F32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced caption loss → (nll_sum, token_count).
+
+    batch: token_ids (B, L) int32, labels (B, L) int32 with -100 on padding,
+    attention_mask (B, L), image_embedding (B, E).
+    Equivalent to the reference forward (``src/models.py:237-325``): prefix
+    gets dummy -100 labels and mask 1; GPT computes shifted CE.
+    """
+    gpt_params = _gpt(trainable, frozen)
+    caption_embeds = G.embed_tokens(gpt_params, batch["token_ids"])
+    prefix = build_prefix(trainable, cfg, batch["image_embedding"], policy)
+    p_len = prefix.shape[1]
+    b = prefix.shape[0]
+
+    inputs = jnp.concatenate([prefix.astype(caption_embeds.dtype), caption_embeds], axis=1)
+    labels = jnp.concatenate(
+        [jnp.full((b, p_len), IGNORE_INDEX, dtype=jnp.int32), batch["labels"]], axis=1
+    )
+    mask = jnp.concatenate(
+        [jnp.ones((b, p_len), dtype=batch["attention_mask"].dtype), batch["attention_mask"]],
+        axis=1,
+    )
+    logits = G.forward(gpt_params, cfg.gpt2, inputs, mask, policy)
+    return G.cross_entropy_loss(logits, labels)
+
+
+def mean_loss(
+    trainable: dict, frozen: dict, cfg: CaptionerConfig, batch: dict, policy: Policy = F32
+) -> jnp.ndarray:
+    s, c = loss_fn(trainable, frozen, cfg, batch, policy)
+    return s / jnp.maximum(c, 1)
+
+
+# ---------------------------------------------------------------------------
+# Generation — greedy / top-p, KV-cached, early-exit while_loop
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_length", "temperature", "top_p", "policy")
+)
+def generate(
+    trainable: dict,
+    frozen: dict,
+    cfg: CaptionerConfig,
+    image_embeddings: jnp.ndarray,
+    *,
+    max_length: int = 50,
+    temperature: float = 1.0,
+    top_p: float = 0.9,
+    rng: jax.Array | None = None,
+    policy: Policy = F32,
+) -> jnp.ndarray:
+    """Autoregressive caption generation → token ids (B, max_length).
+
+    Finished sequences are padded with EOS (stripped by
+    ``batch_decode(skip_special_tokens=True)``), matching the reference's
+    output contract (``src/models.py:451-477``).
+    """
+    gpt_params = _gpt(trainable, frozen)
+    eos = cfg.eos_token_id
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    prefix = build_prefix(trainable, cfg, image_embeddings, policy)
+    b, p_len, _ = prefix.shape
+    cache = G.init_cache(cfg.gpt2, b, p_len + max_length, dtype=policy.compute_dtype)
+    logits, cache = G.forward_cached(gpt_params, cfg.gpt2, prefix, cache, policy)
+
+    tokens0 = jnp.full((b, max_length), eos, dtype=jnp.int32)
+    finished0 = jnp.zeros((b,), dtype=bool)
+
+    def cond(state):
+        step, _, _, finished, _, _ = state
+        return jnp.logical_and(step < max_length, jnp.logical_not(jnp.all(finished)))
+
+    def body(state):
+        step, tokens, logits, finished, cache, rng = state
+        step_rng = jax.random.fold_in(rng, step)
+        nxt = sample_token(logits, temperature=temperature, top_p=top_p, rng=step_rng)
+        finished = jnp.logical_or(finished, nxt == eos)
+        nxt = jnp.where(finished, eos, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
+        embed = G.embed_tokens(gpt_params, nxt[:, None]).astype(policy.compute_dtype)
+        logits, cache = G.forward_cached(gpt_params, cfg.gpt2, embed, cache, policy)
+        return step + 1, tokens, logits, finished, cache, rng
+
+    _, tokens, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), tokens0, logits, finished0, cache, rng)
+    )
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Beam search (capability add over the reference; driver config ③)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_length", "beam_size", "length_penalty", "policy")
+)
+def beam_generate(
+    trainable: dict,
+    frozen: dict,
+    cfg: CaptionerConfig,
+    image_embeddings: jnp.ndarray,
+    *,
+    max_length: int = 50,
+    beam_size: int = 4,
+    length_penalty: float = 1.0,
+    policy: Policy = F32,
+) -> jnp.ndarray:
+    """Length-normalized beam search → best beam's token ids (B, max_length).
+
+    Runs a fixed ``lax.scan`` of ``max_length`` steps; at each step the KV
+    cache is gathered along the beam dimension to follow surviving beams.
+    Score = sum-logprob / (length ** length_penalty), lengths counting tokens
+    up to and including EOS.
+    """
+    gpt_params = _gpt(trainable, frozen)
+    eos = cfg.eos_token_id
+    k = beam_size
+
+    prefix = build_prefix(trainable, cfg, image_embeddings, policy)
+    b, p_len, d = prefix.shape
+
+    # expand to (B*K, ...) beams
+    prefix = jnp.repeat(prefix, k, axis=0)
+    cache = G.init_cache(cfg.gpt2, b * k, p_len + max_length, dtype=policy.compute_dtype)
+    logits, cache = G.forward_cached(gpt_params, cfg.gpt2, prefix, cache, policy)
+
+    neg_inf = jnp.finfo(jnp.float32).min
+    # only beam 0 is live initially so the first step doesn't duplicate beams
+    scores0 = jnp.tile(jnp.array([0.0] + [neg_inf] * (k - 1), jnp.float32), (b, 1))
+    tokens0 = jnp.full((b, k, max_length), eos, dtype=jnp.int32)
+    finished0 = jnp.zeros((b, k), dtype=bool)
+    lengths0 = jnp.zeros((b, k), dtype=jnp.int32)
+
+    def step_fn(carry, step):
+        scores, tokens, finished, lengths, logits, cache = carry
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
+        v = logp.shape[-1]
+
+        # finished beams may only "continue" with EOS at no score change
+        eos_onehot = jnp.zeros((v,), jnp.float32).at[eos].set(0.0)
+        frozen_logp = jnp.full((v,), neg_inf, jnp.float32).at[eos].set(0.0)
+        logp = jnp.where(finished[..., None], frozen_logp[None, None, :], logp)
+
+        cand = scores[..., None] + logp  # (B, K, V)
+        flat = cand.reshape(b, k * v)
+        new_scores, flat_idx = jax.lax.top_k(flat, k)  # (B, K)
+        parent = flat_idx // v  # (B, K) beam index
+        tok = (flat_idx % v).astype(jnp.int32)  # (B, K)
+
+        # reorder beam state along parents
+        batch_idx = jnp.arange(b)[:, None]
+        tokens = tokens[batch_idx, parent]
+        finished = finished[batch_idx, parent]
+        lengths = lengths[batch_idx, parent]
+        tokens = jax.lax.dynamic_update_slice(tokens, tok[..., None], (0, 0, step))
+        newly_finished = jnp.logical_or(finished, tok == eos)
+        lengths = jnp.where(finished, lengths, step + 1)
+
+        # gather the KV cache along beams: flat index = batch*k + parent
+        flat_parent = (batch_idx * k + parent).reshape(-1)
+        cache = dict(
+            cache,
+            k=cache["k"][:, flat_parent],
+            v=cache["v"][:, flat_parent],
+        )
+
+        embed = G.embed_tokens(gpt_params, tok.reshape(b * k, 1)).astype(policy.compute_dtype)
+        logits, cache = G.forward_cached(gpt_params, cfg.gpt2, embed, cache, policy)
+        return (new_scores, tokens, newly_finished, lengths, logits, cache), None
+
+    carry = (scores0, tokens0, finished0, lengths0, logits, cache)
+    (scores, tokens, finished, lengths, _, _), _ = jax.lax.scan(
+        step_fn, carry, jnp.arange(max_length)
+    )
+    lengths = jnp.where(finished, lengths, max_length)
+    norm = jnp.power(jnp.maximum(lengths, 1).astype(jnp.float32), length_penalty)
+    best = jnp.argmax(scores / norm, axis=1)
+    return tokens[jnp.arange(b), best]
+
+
+# ---------------------------------------------------------------------------
+# Stateful façade (reference-style API)
+# ---------------------------------------------------------------------------
+
+class ImageCaptioningModel:
+    """API-parity wrapper: forward/generate/generate_captions/save_parameters/
+    load_saved_parameters, like the reference model class."""
+
+    def __init__(
+        self,
+        cfg: CaptionerConfig,
+        tokenizer=None,
+        rng: jax.Array | None = None,
+        gpt_params: dict | None = None,
+        policy: Policy = F32,
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.policy = policy
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.trainable, self.frozen = init_params(rng, cfg, gpt_params)
+
+    # -- compute ------------------------------------------------------------
+    def forward(self, batch: dict) -> jnp.ndarray:
+        return mean_loss(self.trainable, self.frozen, self.cfg, batch, self.policy)
+
+    def generate(
+        self,
+        image_embeddings,
+        max_length: int = 50,
+        temperature: float = 1.0,
+        top_p: float = 0.9,
+        rng: jax.Array | None = None,
+    ) -> jnp.ndarray:
+        return generate(
+            self.trainable,
+            self.frozen,
+            self.cfg,
+            jnp.asarray(image_embeddings),
+            max_length=max_length,
+            temperature=temperature,
+            top_p=top_p,
+            rng=rng,
+            policy=self.policy,
+        )
+
+    def generate_captions(self, image_embeddings, **kw) -> list[str]:
+        ids = self.generate(image_embeddings, **kw)
+        return self.tokenizer.batch_decode(np.asarray(ids), skip_special_tokens=True)
+
+    # -- checkpointing --------------------------------------------------------
+    def save_parameters(self, output_path: str) -> None:
+        from gpt2_image_captioning_tpu.train import checkpoint
+
+        checkpoint.save_captioner(output_path, self.trainable, self.cfg)
+
+    def load_saved_parameters(self, checkpoint_path: str) -> None:
+        from gpt2_image_captioning_tpu.train import checkpoint
+
+        self.trainable = checkpoint.load_captioner(
+            checkpoint_path, self.trainable, self.cfg
+        )

@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
+# This machine's site config pre-sets jax_platforms to "axon,cpu" (the real
+# TPU tunnel), which silently overrides JAX_PLATFORMS — force CPU explicitly
+# or tests contend for the one physical TPU chip.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

