@@ -28,13 +28,19 @@ def main() -> None:
     from gpt2_image_captioning_tpu.models import gpt2 as G
     from gpt2_image_captioning_tpu.models import mapping as M
 
+    import sys
+    def log(m):
+        print(f"[bench] {m}", file=sys.stderr, flush=True)
+
     policy = BF16
     gcfg = G.GPT2Config.gpt2_124m()
     mcfg = M.TransformerMappingConfig(
         embed_dim=512, gpt_dim=768, prefix_length=15, hidden_length=10
     )
     ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=50256)
+    log("init params...")
     trainable, frozen = C.init_params(jax.random.PRNGKey(0), ccfg)
+    log("init done")
     # bf16 weights on device for the compute path
     trainable = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
     frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
@@ -50,10 +56,13 @@ def main() -> None:
             trainable, frozen, ccfg, emb,
             max_length=max_len, temperature=0.0, top_p=1.0, policy=policy,
         )
-        jax.block_until_ready(out)
-        return out
+        # axon's block_until_ready does not reliably block; a (tiny) D2H
+        # readback is the only trustworthy sync point on this backend
+        return np.asarray(out)
 
+    log("compiling cached decode...")
     ours()  # compile
+    log("cached decode compiled")
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -61,40 +70,43 @@ def main() -> None:
     ours_img_s = batch * reps / (time.perf_counter() - t0)
 
     # --- reference algorithm on the same chip: uncached O(L^2) decode ----
-    # Full forward over the growing sequence each step, expressed with a
-    # fixed padded length + mask so it compiles once (fastest-possible
-    # version of the reference's loop on TPU).
-    total_len = mcfg.prefix_length + max_len
-
+    # The reference's Python loop re-forwards the whole sequence every step
+    # (src/models.py:389-395), so step t costs one full forward of length
+    # prefix+t.  Measure that forward at three static lengths (lengths are
+    # dynamic in the reference too — each step is a fresh shape), fit the
+    # per-step cost linearly, and sum over the 50 steps.  This gives the
+    # reference algorithm's best-case time on this chip without compiling 50
+    # shapes.
+    # NB: params must be jit ARGUMENTS — closing over device arrays embeds
+    # them as constants, which forces a device→host copy of all weights at
+    # lowering time (pathological over the axon tunnel).
     @jax.jit
-    def uncached(emb):
-        gpt = frozen["gpt"]
-        prefix = C.build_prefix(trainable, ccfg, emb, policy)
-        seq = jnp.zeros((batch, total_len, 768), policy.compute_dtype)
-        seq = jax.lax.dynamic_update_slice(seq, prefix.astype(seq.dtype), (0, 0, 0))
+    def fwd_last(gpt, seq):
+        logits = G.forward(gpt, gcfg, seq, None, policy)
+        return jnp.argmax(logits[:, -1, :], axis=-1)
 
-        def step(carry, i):
-            seq, = carry
-            t = mcfg.prefix_length + i
-            mask = (jnp.arange(total_len)[None, :] < t).astype(jnp.int32)
-            mask = jnp.broadcast_to(mask, (batch, total_len))
-            logits = G.forward(gpt, gcfg, seq, mask, policy)  # full re-forward
-            # logits at the last valid position
-            last = jax.lax.dynamic_index_in_dim(logits, t - 1, axis=1, keepdims=False)
-            nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
-            tok_embed = G.embed_tokens(gpt, nxt[:, None]).astype(seq.dtype)
-            seq = jax.lax.dynamic_update_slice(seq, tok_embed, (0, t, 0))
-            return (seq,), nxt
-
-        (_,), toks = jax.lax.scan(step, (seq,), jnp.arange(max_len))
-        return toks
-
-    out = uncached(emb)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = uncached(emb)
-    jax.block_until_ready(out)
-    base_img_s = batch / (time.perf_counter() - t0)
+    log("compiling uncached baseline forwards...")
+    lengths = [mcfg.prefix_length + 1, mcfg.prefix_length + max_len // 2,
+               mcfg.prefix_length + max_len]
+    per_len_s = {}
+    for t_len in lengths:
+        seq = jnp.zeros((batch, t_len, 768), policy.compute_dtype)
+        np.asarray(fwd_last(frozen["gpt"], seq))  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(5):
+            np.asarray(fwd_last(frozen["gpt"], seq))  # D2H sync per call
+        per_len_s[t_len] = (time.perf_counter() - t0) / 5
+    log(f"uncached per-forward seconds: {per_len_s}")
+    # linear model: cost(t) = a + b * t  (attention quadratic term negligible
+    # at these lengths; fit through the endpoints)
+    t_a, t_b = lengths[0], lengths[-1]
+    b_coef = (per_len_s[t_b] - per_len_s[t_a]) / (t_b - t_a)
+    a_coef = per_len_s[t_a] - b_coef * t_a
+    total_s = sum(
+        max(per_len_s[t_a], a_coef + b_coef * (mcfg.prefix_length + i + 1))
+        for i in range(max_len)
+    )
+    base_img_s = batch / total_s
 
     print(
         json.dumps(

@@ -238,3 +238,147 @@ def load_gpt2_tokenizer(assets_dir: str | None = None) -> GPT2BPETokenizer:
         "GPT-2 tokenizer assets (vocab.json + merges.txt) not found. "
         "Run scripts/download_assets.sh or set GPT2_TOKENIZER_DIR."
     )
+
+
+# ---------------------------------------------------------------------------
+# CLIP text tokenizer (caption embeddings for retrieval)
+# ---------------------------------------------------------------------------
+
+_CLIP_SPLIT_PATTERN = (
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|"""
+    r"""[^\s\p{L}\p{N}]+"""
+)
+
+
+def _clip_whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+class CLIPBPETokenizer:
+    """CLIP's byte-level BPE variant (word-boundary ``</w>`` merges,
+    lowercasing, whitespace cleanup, BOS/EOS wrapping) — the tokenizer behind
+    the reference's caption-text embeddings
+    (``src/embeddings/word_embeddings.py:48-82`` via the HF CLIP processor).
+
+    Loads the published ``vocab.json`` + ``merges.txt`` of
+    ``openai/clip-vit-base-patch32``; algorithm golden-tested against HF's
+    ``CLIPTokenizer`` on shared files.
+    """
+
+    def __init__(self, vocab: dict[str, int], merges, context_length: int = 77):
+        self.encoder = dict(vocab)
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self.pat = re.compile(_CLIP_SPLIT_PATTERN, re.IGNORECASE)
+        self.context_length = context_length
+        self._cache: dict[str, str] = {}
+        self.bos_token = "<|startoftext|>"
+        self.eos_token = "<|endoftext|>"
+        for tok in (self.bos_token, self.eos_token):
+            if tok not in self.encoder:
+                self.encoder[tok] = len(self.encoder)
+                self.decoder[self.encoder[tok]] = tok
+        self.bos_token_id = self.encoder[self.bos_token]
+        self.eos_token_id = self.encoder[self.eos_token]
+        self.pad_token_id = self.eos_token_id
+
+    @classmethod
+    def from_files(cls, vocab_file: str, merges_file: str, **kw) -> "CLIPBPETokenizer":
+        with open(vocab_file, "r", encoding="utf-8") as f:
+            vocab = json.load(f)
+        merges = []
+        with open(merges_file, "r", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        for line in lines:
+            if not line or line.startswith("#version"):
+                continue
+            a, b = line.split()
+            merges.append((a, b))
+        return cls(vocab, merges, **kw)
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "CLIPBPETokenizer":
+        return cls.from_files(
+            os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt")
+        )
+
+    def _bpe(self, token: str) -> str:
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached
+        # CLIP: word ends with a '</w>'-suffixed final character
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: list[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self._cache[token] = out
+        return out
+
+    def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
+        text = _clip_whitespace_clean(text).lower()
+        ids: list[int] = []
+        for tok in self.pat.findall(text):
+            mapped = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self._bpe(mapped).split(" "))
+        if add_special_tokens:
+            ids = [self.bos_token_id] + ids + [self.eos_token_id]
+        return ids
+
+    def __call__(self, text: str | Sequence[str], padding: str = "max_length",
+                 truncation: bool = True) -> dict[str, np.ndarray]:
+        texts = [text] if isinstance(text, str) else list(text)
+        L = self.context_length
+        all_ids, masks = [], []
+        for t in texts:
+            ids = self.encode(t)
+            if truncation and len(ids) > L:
+                ids = ids[: L - 1] + [self.eos_token_id]  # keep EOS terminal
+            mask = [1] * len(ids) + [0] * (L - len(ids))
+            ids = ids + [self.pad_token_id] * (L - len(ids))
+            all_ids.append(ids)
+            masks.append(mask)
+        return {
+            "input_ids": np.asarray(all_ids, dtype=np.int32),
+            "attention_mask": np.asarray(masks, dtype=np.int32),
+        }
+
+
+def load_clip_tokenizer(assets_dir: str | None = None) -> CLIPBPETokenizer:
+    """CLIP tokenizer assets (vocab.json + merges.txt of
+    openai/clip-vit-base-patch32) from assets_dir / $CLIP_TOKENIZER_DIR /
+    ./assets/clip — see scripts/download_assets.sh."""
+    for cand in (assets_dir, os.environ.get("CLIP_TOKENIZER_DIR"), "assets/clip"):
+        if cand and os.path.exists(os.path.join(cand, "vocab.json")):
+            return CLIPBPETokenizer.from_pretrained(cand)
+    raise FileNotFoundError(
+        "CLIP tokenizer assets not found. Run scripts/download_assets.sh "
+        "or set CLIP_TOKENIZER_DIR."
+    )

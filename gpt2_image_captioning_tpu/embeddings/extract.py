@@ -1,0 +1,140 @@
+"""Batched on-device embedding extraction for all three vision encoders.
+
+The reference's per-encoder extraction scripts
+(``src/embeddings/clip.py:79-149``, ``vit.py:80-137``, ``dino.py:138-185``)
+become one pipeline: threaded host decode/resize (``data.images``) feeding a
+single jit-compiled device program per encoder — normalize + patch-embed +
+encoder forward + L2-norm fused by XLA — writing the reference's interchange
+artifact ``{"filenames": list[str], "embeddings": (N, D)}``.
+
+Device batches have a fixed shape (tail padded + masked), so the whole run is
+ONE compiled program; with the prefetching loader the TPU is compute-bound
+rather than PIL-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpt2_image_captioning_tpu.core.precision import BF16, Policy
+from gpt2_image_captioning_tpu.data.embeddings_io import save_embeddings
+from gpt2_image_captioning_tpu.data.images import ImageBatchLoader
+from gpt2_image_captioning_tpu.embeddings.preprocess import (
+    SPECS,
+    PreprocessSpec,
+    make_host_preprocess,
+    normalize_on_device,
+)
+
+
+def _run_extraction(
+    image_dir: str,
+    output_path: str | None,
+    encode_u8: Callable,  # (batch_u8 (B,S,S,3)) -> (B, D) embeddings
+    spec: PreprocessSpec,
+    batch_size: int,
+    num_workers: int,
+    desc: str,
+) -> tuple[list[str], np.ndarray]:
+    loader = ImageBatchLoader(
+        image_dir,
+        preprocess=make_host_preprocess(spec),
+        batch_size=batch_size,
+        num_workers=num_workers,
+    )
+    all_names: list[str] = []
+    chunks: list[np.ndarray] = []
+    n_total = len(loader.dir)
+    print(f"Starting {desc} embedding extraction for {n_total} images...")
+    t0 = time.perf_counter()
+    for names, batch_u8, valid in loader:
+        emb = encode_u8(jnp.asarray(batch_u8))
+        chunks.append(np.asarray(emb)[: len(names)])
+        all_names.extend(names)
+    dt = time.perf_counter() - t0
+    embeddings = (
+        np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 0), np.float32)
+    )
+    print(
+        f"{desc}: {len(all_names)} images in {dt:.1f}s "
+        f"({len(all_names) / max(dt, 1e-9):.1f} img/s)"
+    )
+    if output_path:
+        print(f"Saving {embeddings.shape[0]} embeddings to {output_path}...")
+        save_embeddings(output_path, all_names, embeddings)
+    return all_names, embeddings
+
+
+def extract_clip_embeddings(
+    image_dir: str,
+    output_path: str | None,
+    clip_params: dict,
+    clip_cfg,
+    batch_size: int = 64,
+    num_workers: int = 4,
+    policy: Policy = BF16,
+) -> tuple[list[str], np.ndarray]:
+    """CLIP image features, L2-normalized, 512-d (reference
+    ``src/embeddings/clip.py:79-149``)."""
+    from gpt2_image_captioning_tpu.models import clip as CL
+
+    @jax.jit
+    def encode(batch_u8):
+        px = normalize_on_device(batch_u8, SPECS["clip"])
+        return CL.encode_image(clip_params, clip_cfg, px, policy=policy, normalize=True)
+
+    return _run_extraction(
+        image_dir, output_path, encode, SPECS["clip"], batch_size, num_workers, "CLIP"
+    )
+
+
+def extract_vit_embeddings(
+    image_dir: str,
+    output_path: str | None,
+    vit_params: dict,
+    vit_cfg,
+    batch_size: int = 64,
+    num_workers: int = 4,
+    policy: Policy = BF16,
+) -> tuple[list[str], np.ndarray]:
+    """HF ViT pooler ([CLS]) features, L2-normalized, 768-d (reference
+    ``src/embeddings/vit.py:80-137``)."""
+    from gpt2_image_captioning_tpu.models import vit as VT
+
+    @jax.jit
+    def encode(batch_u8):
+        px = normalize_on_device(batch_u8, SPECS["vit"])
+        return VT.encode_image(vit_params, vit_cfg, px, policy=policy, normalize=True)
+
+    return _run_extraction(
+        image_dir, output_path, encode, SPECS["vit"], batch_size, num_workers, "ViT"
+    )
+
+
+def extract_dino_embeddings(
+    image_dir: str,
+    output_path: str | None,
+    dino_params: dict,
+    dino_cfg,
+    batch_size: int = 64,
+    num_workers: int = 4,
+    policy: Policy = BF16,
+) -> tuple[list[str], np.ndarray]:
+    """DINOv3+dino.txt image features, L2-normalized (reference
+    ``src/embeddings/dino.py:138-185``)."""
+    from gpt2_image_captioning_tpu.models import dino as DN
+
+    @jax.jit
+    def encode(batch_u8):
+        px = normalize_on_device(batch_u8, SPECS["dino"])
+        return DN.encode_image(dino_params, dino_cfg, px, policy=policy, normalize=True)
+
+    return _run_extraction(
+        image_dir, output_path, encode, SPECS["dino"], batch_size, num_workers, "DINO"
+    )

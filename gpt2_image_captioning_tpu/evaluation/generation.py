@@ -45,18 +45,39 @@ def generate_predictions(
     beam_size: int = 4,
     rng: jax.Array | None = None,
     verbose: bool = True,
+    db_store=None,
+    top_k: int | None = None,
+    top_i: int | None = None,
 ) -> list[dict[str, Any]]:
     """Generate one caption per unique image → ``[{"image_id", "caption"}]``.
 
     ``decode="sample"`` reproduces the reference's temperature/top-p dispatch
     (greedy when temperature == 0); ``decode="beam"`` uses beam search.
+    With ``db_store`` set (RAT models) image embeddings are retrieval-
+    augmented before decoding (reference ``src/eval.py:232-308``).
     """
     tokenizer = dataset.tokenizer
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     predictions: list[dict[str, Any]] = []
     n_batches = 0
     t0 = time.perf_counter()
+    augment = None
+    if db_store is not None:
+        import dataclasses as _dc
+
+        from gpt2_image_captioning_tpu.models import rat as R
+
+        rcfg = _dc.replace(
+            model.rcfg,
+            top_k=top_k or model.rcfg.top_k,
+            top_i=top_i or model.rcfg.top_i,
+        )
+        augment = lambda emb: R.augment_batch(
+            model.trainable, rcfg, db_store, emb, model.policy
+        )
     for i, batch in enumerate(dataset.unique_image_batches(batch_size)):
+        if augment is not None:
+            batch = dict(batch, image_embedding=augment(batch["image_embedding"]))
         if decode == "beam":
             ids = C.beam_generate(
                 model.trainable,
@@ -104,10 +125,13 @@ def generate_and_evaluate(
     decode: str = "sample",
     beam_size: int = 4,
     rng: jax.Array | None = None,
+    db_store=None,
+    top_k: int | None = None,
+    top_i: int | None = None,
     **_ignored,
 ) -> tuple[list[dict[str, Any]], EvalMetrics]:
     """Generate for the whole dataset, then score (reference
-    ``src/eval.py:160-229``)."""
+    ``src/eval.py:160-229``; RAT variant :232-308 via ``db_store``)."""
     predictions = generate_predictions(
         model,
         dataset,
@@ -118,6 +142,9 @@ def generate_and_evaluate(
         decode=decode,
         beam_size=beam_size,
         rng=rng,
+        db_store=db_store,
+        top_k=top_k,
+        top_i=top_i,
     )
     metrics = evaluate_captions(predictions, annotations_path)
     return predictions, metrics
@@ -137,6 +164,9 @@ def evaluate_epoch(
     decode: str = "sample",
     beam_size: int = 4,
     rat: bool = False,
+    db_store=None,
+    top_k: int | None = None,
+    top_i: int | None = None,
     **_ignored,
 ) -> EvalMetrics:
     """Per-epoch eval with the reference's artifact naming
@@ -152,6 +182,9 @@ def evaluate_epoch(
         top_p=top_p,
         decode=decode,
         beam_size=beam_size,
+        db_store=db_store,
+        top_k=top_k,
+        top_i=top_i,
     )
     print(f"\nResults: {metrics}")
     save_epoch_artifacts(predictions, metrics, output_dir, epoch, split_name, rat=rat)
@@ -168,10 +201,13 @@ def generate_test_caption_predictions(
     top_p: float = 0.9,
     decode: str = "sample",
     beam_size: int = 4,
+    db_store=None,
+    top_k: int | None = None,
+    top_i: int | None = None,
 ) -> list[dict[str, Any]]:
     """Dump COCO-schema predictions ``[{"image_id": int, "caption": str}]``
-    (reference ``src/test.py:11-82``; same schema as
-    ``sample_output/results.json``)."""
+    (reference ``src/test.py:11-82``; RAT variant :85-165 via ``db_store``;
+    same schema as ``sample_output/results.json``)."""
     predictions = generate_predictions(
         model,
         dataset,
@@ -181,6 +217,9 @@ def generate_test_caption_predictions(
         top_p=top_p,
         decode=decode,
         beam_size=beam_size,
+        db_store=db_store,
+        top_k=top_k,
+        top_i=top_i,
     )
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     with open(output_path, "w") as f:

@@ -53,28 +53,45 @@ def make_train_step(
     policy,
     grad_accum_steps: int = 1,
     remat: bool = False,
+    rat_cfg=None,
+    fused_retrieval: bool = False,
 ):
     """Build the jitted, sharded train step.
 
-    Step signature: (trainable, opt_state, frozen, batch) →
+    Step signature: (trainable, opt_state, frozen, batch, extra) →
     (trainable, opt_state, loss, grad_norm).  With accumulation the batch
-    leaves carry a leading (accum, micro, ...) shape.
+    leaves carry a leading (accum, micro, ...) shape.  ``extra`` carries
+    replicated side inputs — the DeviceVectorStore arrays for fused RAT
+    retrieval — and is empty otherwise.
     """
-    loss_inner = functools.partial(C.loss_fn, cfg=cfg, policy=policy)
+    if rat_cfg is None:
+        def loss_inner(trainable, frozen, batch, extra):
+            return C.loss_fn(trainable, frozen, cfg, batch, policy)
+    elif fused_retrieval:
+        from gpt2_image_captioning_tpu.models import rat as R
+
+        def loss_inner(trainable, frozen, batch, extra):
+            return R.loss_fn_fused(trainable, frozen, cfg, rat_cfg, batch, extra, policy)
+    else:
+        from gpt2_image_captioning_tpu.models import rat as R
+
+        def loss_inner(trainable, frozen, batch, extra):
+            return R.loss_fn(trainable, frozen, cfg, rat_cfg, batch, policy)
+
     if remat:
         loss_inner = jax.checkpoint(loss_inner)
 
-    def micro_loss(trainable, frozen, batch):
-        s, c = loss_inner(trainable, frozen, batch=batch)
+    def micro_loss(trainable, frozen, batch, extra):
+        s, c = loss_inner(trainable, frozen, batch, extra)
         return s / jnp.maximum(c, 1.0)
 
-    def step(trainable, opt_state, frozen, batch):
+    def step(trainable, opt_state, frozen, batch, extra):
         if grad_accum_steps == 1:
-            loss, grads = jax.value_and_grad(micro_loss)(trainable, frozen, batch)
+            loss, grads = jax.value_and_grad(micro_loss)(trainable, frozen, batch, extra)
         else:
             def body(carry, micro):
                 loss_acc, grads_acc = carry
-                l, g = jax.value_and_grad(micro_loss)(trainable, frozen, micro)
+                l, g = jax.value_and_grad(micro_loss)(trainable, frozen, micro, extra)
                 return (loss_acc + l, jax.tree.map(jnp.add, grads_acc, g)), None
 
             zeros = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), trainable)
@@ -86,7 +103,12 @@ def make_train_step(
         trainable, opt_state, gnorm = optim.step(opt_cfg, trainable, grads, opt_state)
         return trainable, opt_state, loss, gnorm
 
-    tr_specs, fr_specs = C.partition_specs(cfg)
+    if rat_cfg is None:
+        tr_specs, fr_specs = C.partition_specs(cfg)
+    else:
+        from gpt2_image_captioning_tpu.models import rat as R
+
+        tr_specs, fr_specs = R.partition_specs(cfg, rat_cfg)
     tr_sh = _spec_to_sharding(mesh, tr_specs)
     fr_sh = _spec_to_sharding(mesh, fr_specs)
     opt_sh = optim.AdamWState(step=NamedSharding(mesh, P()), mu=tr_sh, nu=tr_sh)
@@ -95,10 +117,11 @@ def make_train_step(
     else:
         batch_spec = P(None, DATA_AXIS)
     batch_sh = NamedSharding(mesh, batch_spec)
+    extra_sh = NamedSharding(mesh, P())  # store arrays replicated
 
     return jax.jit(
         step,
-        in_shardings=(tr_sh, opt_sh, fr_sh, batch_sh),
+        in_shardings=(tr_sh, opt_sh, fr_sh, batch_sh, extra_sh),
         out_shardings=(tr_sh, opt_sh, NamedSharding(mesh, P()), NamedSharding(mesh, P())),
         donate_argnums=(0, 1),
     ), (tr_sh, fr_sh, opt_sh, batch_sh)
@@ -139,10 +162,16 @@ def train(
     checkpoint_format: str = "npz",  # "npz" (native) or "pt" (reference interchange)
     log_dir: str = "logs",
     remat: bool = False,
-    rat_suffix: bool = False,
+    rat_cfg=None,
+    db_store=None,
 ) -> dict[str, Any]:
     """Train the captioner; returns the reference's history dict
-    (``epoch_losses`` / ``val_metrics`` / ``best_val_cider`` / ``best_epoch``)."""
+    (``epoch_losses`` / ``val_metrics`` / ``best_val_cider`` / ``best_epoch``).
+
+    With ``rat_cfg`` + ``db_store`` set this is retrieval-augmented training:
+    a DeviceVectorStore retrieves fused inside the jitted step; any host store
+    (C++ HNSW / persistent) retrieves per micro-batch through the store API.
+    """
     os.makedirs(outputs_dir, exist_ok=True)
     eval_dir = os.path.join(outputs_dir, "eval_results")
     os.makedirs(eval_dir, exist_ok=True)
@@ -154,6 +183,28 @@ def train(
     batcher = Batcher(train_dataset, batch_size, seed=seed)
     steps_per_epoch = batcher.steps_per_epoch  # micro-batches per epoch
 
+    from gpt2_image_captioning_tpu.retrieval.exact import DeviceVectorStore
+
+    fused_retrieval = isinstance(db_store, DeviceVectorStore)
+    extra: dict = {}
+    if rat_cfg is not None and fused_retrieval:
+        extra = {
+            "image_embeddings": db_store.image_embeddings,
+            "caption_embeddings": db_store.caption_embeddings,
+            "caption_table": db_store.caption_table,
+        }
+
+    def host_retrieve(batch: dict) -> dict:
+        """Host-store RAT: attach retrieved caption embeddings to the batch."""
+        from gpt2_image_captioning_tpu.retrieval import exact as device_backend
+
+        results = db_store.retrieve_images_by_vector_similarity(
+            np.asarray(batch["image_embedding"], np.float32), rat_cfg.top_i
+        )
+        filenames = [[f for f, _ in row] for row in results]
+        retrieved = db_store.get_caption_embeddings(rat_cfg.top_k, filenames)
+        return dict(batch, retrieved_embeddings=np.asarray(retrieved, np.float32))
+
     opt_cfg = optim.AdamWConfig(
         learning_rate=learning_rate,
         num_warmup_steps=num_warmup_steps,
@@ -161,7 +212,8 @@ def train(
         num_training_steps=steps_per_epoch * num_epochs,
     )
     step_fn, (tr_sh, fr_sh, opt_sh, batch_sh) = make_train_step(
-        model.cfg, opt_cfg, mesh, model.policy, grad_accum_steps, remat=remat
+        model.cfg, opt_cfg, mesh, model.policy, grad_accum_steps,
+        remat=remat, rat_cfg=rat_cfg, fused_retrieval=fused_retrieval,
     )
 
     trainable = jax.device_put(model.trainable, tr_sh)
@@ -188,12 +240,16 @@ def train(
             group = {k: v for k, v in group.items() if k != "image_id"}
             group = jax.device_put(group, batch_sh)
             timer.start()
-            trainable, opt_state, loss, _gnorm = step_fn(trainable, opt_state, frozen, group)
+            trainable, opt_state, loss, _gnorm = step_fn(
+                trainable, opt_state, frozen, group, extra
+            )
             timer.stop()
             losses.append(loss)
             return trainable, opt_state
 
         for batch in batcher.epoch(epoch):
+            if rat_cfg is not None and not fused_retrieval:
+                batch = host_retrieve(batch)
             if grad_accum_steps == 1:
                 group = batch
             else:
@@ -243,7 +299,10 @@ def train(
                 temperature=eval_temperature,
                 top_p=eval_top_p,
                 output_dir=eval_dir,
-                rat=rat_suffix,
+                rat=rat_cfg is not None,
+                db_store=db_store,
+                top_k=getattr(rat_cfg, "top_k", None),
+                top_i=getattr(rat_cfg, "top_i", None),
             )
             val_metrics_history.append({"epoch": epoch + 1, "loss": avg_loss, **metrics.to_dict()})
             logger.add_scalars(
@@ -287,3 +346,32 @@ def train(
         "best_epoch": best_epoch,
         "step_timing": timer.summary(),
     }
+
+
+def train_rat(
+    train_dataset: CocoDataset,
+    model,
+    db_store,
+    top_k: int,
+    top_i: int,
+    batch_size: int,
+    num_epochs: int,
+    **kwargs,
+) -> dict[str, Any]:
+    """Retrieval-augmented training — API parity with the reference's
+    ``train_rat`` (``src/train.py:257-483``): same loop with the store and
+    retrieval depths threaded through.  ``model`` is a
+    ``RetrievalAugmentedTransformer`` (its ``rcfg`` provides the aggregation
+    type; ``top_k``/``top_i`` here override the retrieval depths)."""
+    import dataclasses as _dc
+
+    rcfg = _dc.replace(model.rcfg, top_k=top_k, top_i=top_i)
+    return train(
+        train_dataset,
+        model,
+        batch_size=batch_size,
+        num_epochs=num_epochs,
+        rat_cfg=rcfg,
+        db_store=db_store,
+        **kwargs,
+    )
