@@ -96,10 +96,10 @@ def test_grad_accum_equivalence(model, data):
 
     t0 = jax.tree.map(jnp.copy, model.trainable)
     o0 = optim.init(t0)
-    t1, _, loss1, _ = step1(jax.tree.map(jnp.copy, t0), optim.init(t0), model.frozen, batch)
+    t1, _, loss1, _ = step1(jax.tree.map(jnp.copy, t0), optim.init(t0), model.frozen, batch, {})
 
     halves = {k: np.stack([v[:4], v[4:]]) for k, v in batch.items()}
-    t2, _, loss2, _ = step2(jax.tree.map(jnp.copy, t0), optim.init(t0), model.frozen, halves)
+    t2, _, loss2, _ = step2(jax.tree.map(jnp.copy, t0), optim.init(t0), model.frozen, halves, {})
 
     # micro-means average to the same value only if token counts are equal;
     # compare step outputs loosely and parameter direction tightly
