@@ -138,3 +138,74 @@ def extract_dino_embeddings(
     return _run_extraction(
         image_dir, output_path, encode, SPECS["dino"], batch_size, num_workers, "DINO"
     )
+
+
+def main() -> None:
+    """CLI: ``python -m gpt2_image_captioning_tpu.embeddings.extract`` — the
+    batch-extraction entry point (the reference's notebooks' role)."""
+    import argparse
+
+    import jax
+
+    from gpt2_image_captioning_tpu.models import porting
+
+    p = argparse.ArgumentParser(description="Extract image embeddings")
+    p.add_argument("--encoder", choices=["clip", "vit", "dino"], required=True)
+    p.add_argument("--image-dir", required=True)
+    p.add_argument("--output", required=True, help=".pt or .npz embeddings artifact")
+    p.add_argument("--checkpoint", default=None,
+                   help="torch checkpoint/safetensors with pretrained weights "
+                        "(see scripts/download_assets.sh); random init if omitted")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--num-workers", type=int, default=4)
+    args = p.parse_args()
+
+    def load_sd(path):
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            return load_file(path)
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        return sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+
+    rng = jax.random.PRNGKey(0)
+    if args.encoder == "clip":
+        from gpt2_image_captioning_tpu.models import clip as CL
+
+        cfg = CL.CLIPVisionConfig.vit_b32()
+        params = (
+            porting.port_clip_vision(load_sd(args.checkpoint), cfg)
+            if args.checkpoint
+            else CL.init_vision(rng, cfg)
+        )
+        extract_clip_embeddings(args.image_dir, args.output, params, cfg,
+                                args.batch_size, args.num_workers)
+    elif args.encoder == "vit":
+        from gpt2_image_captioning_tpu.models import vit as VT
+
+        cfg = VT.ViTConfig.base_patch16_224()
+        params = (
+            porting.port_vit(load_sd(args.checkpoint), cfg)
+            if args.checkpoint
+            else VT.init(rng, cfg)
+        )
+        extract_vit_embeddings(args.image_dir, args.output, params, cfg,
+                               args.batch_size, args.num_workers)
+    else:
+        from gpt2_image_captioning_tpu.models import dino as DN
+
+        cfg = DN.DINOv3Config.vitl16()
+        if args.checkpoint:
+            sd = load_sd(args.checkpoint)
+            params = porting.port_dinov3_backbone(sd, cfg)
+            params = porting.port_dinotxt_head(params, sd, cfg)
+        else:
+            params = DN.init(rng, cfg)
+        extract_dino_embeddings(args.image_dir, args.output, params, cfg,
+                                args.batch_size, args.num_workers)
+
+
+if __name__ == "__main__":
+    main()

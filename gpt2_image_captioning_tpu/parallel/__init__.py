@@ -1,0 +1,14 @@
+from gpt2_image_captioning_tpu.parallel.collectives import (  # noqa: F401
+    all_gather_batch,
+    pmean_scalar,
+    psum_scalar,
+)
+from gpt2_image_captioning_tpu.core.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    MeshSpec,
+    batch_sharding,
+    create_mesh,
+    replicated,
+    shard_batch,
+)
