@@ -58,6 +58,9 @@ def create_mesh(
     """
     spec = spec or MeshSpec()
     devs = list(devices if devices is not None else jax.devices())
+    # an explicit dp smaller than the device count selects a device subset
+    if spec.dp > 0 and spec.tp > 0 and spec.dp * spec.tp < len(devs):
+        devs = devs[: spec.dp * spec.tp]
     dp, tp = spec.resolve(len(devs))
     # Sort by (process_index, id) so tp-contiguous groups share a slice.
     devs.sort(key=lambda d: (d.process_index, d.id))

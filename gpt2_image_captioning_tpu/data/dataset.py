@@ -199,14 +199,20 @@ class Batcher:
     def __init__(self, dataset: CocoDataset, batch_size: int, seed: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._fallback_epoch = 0
 
     @property
     def steps_per_epoch(self) -> int:
         return -(-len(self.ds) // self.batch_size)
 
     def epoch(self, epoch_idx: int | None = None) -> Iterator[dict[str, np.ndarray]]:
-        perm = self.rng.permutation(len(self.ds))
+        # per-epoch shuffle is a pure function of (seed, epoch) so that
+        # mid-training resume replays the identical data order
+        if epoch_idx is None:
+            epoch_idx = self._fallback_epoch
+            self._fallback_epoch += 1
+        perm = np.random.default_rng([self.seed, epoch_idx]).permutation(len(self.ds))
         bs = self.batch_size
         for start in range(0, len(perm), bs):
             idx = perm[start : start + bs]

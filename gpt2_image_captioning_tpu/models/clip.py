@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from gpt2_image_captioning_tpu.core.precision import F32, Policy
 from gpt2_image_captioning_tpu.ops import nn
+from gpt2_image_captioning_tpu.ops.attention import mha
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,7 +95,7 @@ def _clip_layer(
     k = nn.dense(lp["attn"]["k"], h, policy)
     v = nn.dense(lp["attn"]["v"], h, policy)
     q, k, v = (nn.split_heads(t, n_head) for t in (q, k, v))
-    a = nn.attention_xla(q, k, v, causal=causal, policy=policy)
+    a = mha(q, k, v, causal=causal, policy=policy)
     x = x + nn.dense(lp["attn"]["out"], nn.merge_heads(a), policy)
     h = nn.layer_norm(lp["ln2"], x, eps)
     h = nn.quick_gelu(nn.dense(lp["mlp"]["fc1"], h, policy))

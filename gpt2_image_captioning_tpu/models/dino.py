@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from gpt2_image_captioning_tpu.core.precision import F32, Policy
 from gpt2_image_captioning_tpu.models.clip import extract_patches
 from gpt2_image_captioning_tpu.ops import nn
+from gpt2_image_captioning_tpu.ops.attention import mha
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,7 +155,7 @@ def _block(bp: dict, cfg: DINOv3Config, x, cos, sin, n_special: int, policy: Pol
     k_sp, k_patch = k[:, :, :n_special], k[:, :, n_special:]
     q = jnp.concatenate([q_sp, apply_rope(q_patch, cos, sin).astype(q.dtype)], axis=2)
     k = jnp.concatenate([k_sp, apply_rope(k_patch, cos, sin).astype(k.dtype)], axis=2)
-    a = nn.attention_xla(q, k, v, causal=False, policy=policy)
+    a = mha(q, k, v, causal=False, policy=policy)
     x = x + bp["gamma1"].astype(jnp.float32) * nn.dense(
         bp["attn"]["proj"], nn.merge_heads(a), policy
     ).astype(jnp.float32)

@@ -33,6 +33,7 @@ from jax.sharding import PartitionSpec as P
 
 from gpt2_image_captioning_tpu.core.precision import F32, Policy
 from gpt2_image_captioning_tpu.ops import nn
+from gpt2_image_captioning_tpu.ops.attention import mha
 
 IGNORE_INDEX = -100
 
@@ -149,7 +150,7 @@ def _block(
     h = nn.layer_norm(bp["ln_1"], x, cfg.layer_norm_epsilon)
     qkv = nn.dense(bp["attn"]["c_attn"], h, policy)
     q, k, v = (nn.split_heads(t, cfg.n_head) for t in jnp.split(qkv, 3, axis=-1))
-    a = nn.attention_xla(q, k, v, causal=True, key_mask=key_mask, policy=policy)
+    a = mha(q, k, v, causal=True, key_mask=key_mask, policy=policy)
     x = x + nn.dense(bp["attn"]["c_proj"], nn.merge_heads(a), policy)
     h = nn.layer_norm(bp["ln_2"], x, cfg.layer_norm_epsilon)
     h = nn.gelu_new(nn.dense(bp["mlp"]["c_fc"], h, policy))

@@ -27,6 +27,7 @@ from jax.sharding import PartitionSpec as P
 
 from gpt2_image_captioning_tpu.core.precision import F32, Policy
 from gpt2_image_captioning_tpu.ops import nn
+from gpt2_image_captioning_tpu.ops.attention import mha
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,7 +141,7 @@ def _encoder_layer(
     h = nn.layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
     qkv = nn.dense(lp["attn"]["in_proj"], h, policy)
     q, k, v = (nn.split_heads(t, cfg.num_heads) for t in jnp.split(qkv, 3, axis=-1))
-    a = nn.attention_xla(q, k, v, causal=False, policy=policy)  # bidirectional
+    a = mha(q, k, v, causal=False, policy=policy)  # bidirectional
     x = x + nn.dense(lp["attn"]["out_proj"], nn.merge_heads(a), policy)
     h = nn.layer_norm(lp["ln2"], x, cfg.layer_norm_eps)
     h = jnp.maximum(nn.dense(lp["fc1"], h, policy), 0)  # relu

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from gpt2_image_captioning_tpu.core.precision import F32, Policy
 from gpt2_image_captioning_tpu.models.clip import extract_patches
 from gpt2_image_captioning_tpu.ops import nn
+from gpt2_image_captioning_tpu.ops.attention import mha
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,7 +94,7 @@ def _layer(lp: dict, x: jnp.ndarray, n_head: int, eps: float, policy: Policy) ->
     k = nn.dense(lp["attn"]["k"], h, policy)
     v = nn.dense(lp["attn"]["v"], h, policy)
     q, k, v = (nn.split_heads(t, n_head) for t in (q, k, v))
-    a = nn.attention_xla(q, k, v, causal=False, policy=policy)
+    a = mha(q, k, v, causal=False, policy=policy)
     x = x + nn.dense(lp["attn"]["out"], nn.merge_heads(a), policy)
     h = nn.layer_norm(lp["ln_after"], x, eps)
     h = nn.gelu_exact(nn.dense(lp["mlp"]["fc1"], h, policy))

@@ -42,56 +42,57 @@ def _flash_kernel(
 ):
     """One (batch, head, q-block): online-softmax attention over all K blocks.
 
-    q_ref: (bq, hd); k_ref/v_ref: (Tk, hd); mask_ref: (1, Tk) int32 (1=attend)
-    out_ref: (bq, hd)
+    Refs carry (1, 1, ...) leading block dims.  All slicing happens on loaded
+    *arrays* (Mosaic vector ops pad the 64-wide head dim to lanes freely);
+    ref-level slices with a sub-128 trailing dim would fail tiling alignment.
+
+    q_ref: (1, 1, bq, hd); k_ref/v_ref: (1, 1, Tk, hd); mask_ref: (1, 1, Tk);
+    out_ref: (1, 1, bq, hd)
     """
-    bq, hd = q_ref.shape
-    tk = k_ref.shape[0]
+    bq, hd = q_ref.shape[2], q_ref.shape[3]
+    tk = k_ref.shape[2]
     qi = pl.program_id(2)
 
-    q = q_ref[:].astype(jnp.float32) * scale
+    q = q_ref[...][0, 0].astype(jnp.float32) * scale
+    k_all = k_ref[...][0, 0].astype(jnp.float32)
+    v_all = v_ref[...][0, 0].astype(jnp.float32)
+    mask_all = mask_ref[...][0]  # (1, tk)
+
     m = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
     acc = jnp.zeros((bq, hd), jnp.float32)
 
-    num_kb = pl.cdiv(tk, bk)
+    num_kb = tk // bk  # tk padded to a multiple of bk by the wrapper
 
-    def body(kb, carry):
-        m, l, acc = carry
-        k_blk = k_ref[pl.ds(kb * bk, bk), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(kb * bk, bk), :].astype(jnp.float32)
+    # static unrolled walk over K blocks (Mosaic lowers neither ref- nor
+    # array-level dynamic slices with sub-lane trailing dims; sequences in
+    # this stack are short, so unrolling is cheap)
+    for kb in range(num_kb):
+        k_blk = k_all[kb * bk : (kb + 1) * bk]
+        v_blk = v_all[kb * bk : (kb + 1) * bk]
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (bq, bk)
 
-        # tk is always a multiple of bk (inputs are padded by the wrapper),
-        # so the dynamic slices above never clamp and kpos is exact.
         kpos = kb * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         valid = kpos < tk
         if causal:
             qpos = qi * bq + q_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             valid = jnp.logical_and(valid, kpos <= qpos)
-        mask_blk = mask_ref[0, pl.ds(kb * bk, bk)]
-        valid = jnp.logical_and(valid, (mask_blk != 0)[None, :])
+        mask_blk = mask_all[:, kb * bk : (kb + 1) * bk]
+        valid = jnp.logical_and(valid, mask_blk != 0)
         s = jnp.where(valid, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
-
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        m = m_new
     # rows with no valid keys (fully masked) produce l == 0; emit zeros there
     out = acc / jnp.where(l == 0.0, 1.0, l)
-    out_ref[:] = out.astype(out_ref.dtype)
+    out_ref[...] = out.astype(out_ref.dtype)[None, None]
 
 
-# pallas BlockSpec with leading (1, 1) block dims passes refs of that shape;
-# wrap the kernel to drop them.
-def _flash_kernel_wrapped(q_ref, k_ref, v_ref, mask_ref, out_ref, **kw):
-    _flash_kernel(
-        q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0], mask_ref.at[0], out_ref.at[0, 0], **kw
-    )
+_flash_kernel_wrapped = _flash_kernel
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))

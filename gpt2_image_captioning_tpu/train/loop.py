@@ -164,6 +164,10 @@ def train(
     remat: bool = False,
     rat_cfg=None,
     db_store=None,
+    save_optimizer_state: bool = True,
+    resume: bool = False,
+    stop_after_epochs: int | None = None,
+    profile_dir: str | None = None,
 ) -> dict[str, Any]:
     """Train the captioner; returns the reference's history dict
     (``epoch_losses`` / ``val_metrics`` / ``best_val_cider`` / ``best_epoch``).
@@ -171,6 +175,14 @@ def train(
     With ``rat_cfg`` + ``db_store`` set this is retrieval-augmented training:
     a DeviceVectorStore retrieves fused inside the jitted step; any host store
     (C++ HNSW / persistent) retrieves per micro-batch through the store API.
+
+    ``resume=True`` continues from the latest ``model_epoch_{n}`` +
+    ``optimizer_epoch_{n}`` pair in ``outputs_dir`` (optimizer state included
+    — a capability the reference lacks, its checkpoints being model-only;
+    SURVEY.md §5).  ``stop_after_epochs`` bounds how many epochs THIS
+    invocation runs while the LR schedule still spans the full ``num_epochs``
+    (budgeted runs / crash-resume testing).  ``profile_dir`` captures a jax.profiler trace of the first
+    post-warmup training step.
     """
     os.makedirs(outputs_dir, exist_ok=True)
     eval_dir = os.path.join(outputs_dir, "eval_results")
@@ -216,9 +228,33 @@ def train(
         remat=remat, rat_cfg=rat_cfg, fused_retrieval=fused_retrieval,
     )
 
+    start_epoch = 0
+    init_opt = optim.init(model.trainable)
+    if resume:
+        import re as _re
+
+        found = sorted(
+            (int(m.group(1)), f)
+            for f in os.listdir(outputs_dir)
+            if (m := _re.match(r"model_epoch_(\d+)\.(npz|pt)$", f))
+        )
+        if found:
+            last_epoch, ckpt_file = found[-1]
+            model.trainable = checkpoint.load_captioner(
+                os.path.join(outputs_dir, ckpt_file), model.trainable, model.cfg
+            )
+            opt_file = os.path.join(outputs_dir, f"optimizer_epoch_{last_epoch}.npz")
+            if os.path.exists(opt_file):
+                loaded = checkpoint.load_pytree(opt_file)
+                init_opt = optim.AdamWState(
+                    step=loaded["step"], mu=loaded["mu"], nu=loaded["nu"]
+                )
+            start_epoch = last_epoch
+            print(f"Resumed from epoch {last_epoch} ({ckpt_file})")
+
     trainable = jax.device_put(model.trainable, tr_sh)
     frozen = jax.device_put(model.frozen, fr_sh)
-    opt_state = jax.device_put(optim.init(model.trainable), opt_sh)
+    opt_state = jax.device_put(init_opt, opt_sh)
 
     logger = MetricsLogger(log_dir)
     timer = StepTimer()
@@ -229,7 +265,10 @@ def train(
 
     ckpt_ext = "pt" if checkpoint_format == "pt" else "npz"
 
-    for epoch in range(num_epochs):
+    end_epoch = num_epochs
+    if stop_after_epochs is not None:
+        end_epoch = min(num_epochs, start_epoch + stop_after_epochs)
+    for epoch in range(start_epoch, end_epoch):
         # losses stay on device during the epoch (no per-step host sync, so
         # dispatch runs ahead of the TPU); synced once per epoch for logging.
         losses: list[jax.Array] = []
@@ -247,7 +286,11 @@ def train(
             losses.append(loss)
             return trainable, opt_state
 
-        for batch in batcher.epoch(epoch):
+        for step_i, batch in enumerate(batcher.epoch(epoch)):
+            if profile_dir and epoch == start_epoch and step_i == 1:
+                import jax.profiler as _prof
+
+                _prof.start_trace(profile_dir)
             if rat_cfg is not None and not fused_retrieval:
                 batch = host_retrieve(batch)
             if grad_accum_steps == 1:
@@ -260,6 +303,11 @@ def train(
                 pending = []
             trainable, opt_state = run_group(group, trainable, opt_state)
             global_step += 1
+            if profile_dir and epoch == start_epoch and step_i == 1:
+                import jax.profiler as _prof
+
+                jax.tree.map(lambda x: x, trainable)
+                _prof.stop_trace()
         if pending:  # trailing partial accumulation group
             trainable, opt_state = run_group(
                 _group_microbatches(pending, grad_accum_steps), trainable, opt_state
@@ -286,6 +334,11 @@ def train(
             path = os.path.join(outputs_dir, f"model_epoch_{epoch + 1}.{ckpt_ext}")
             checkpoint.save_captioner(path, trainable, model.cfg)
             print(f"Model checkpoint saved at {path}")
+            if save_optimizer_state:
+                checkpoint.save_pytree(
+                    os.path.join(outputs_dir, f"optimizer_epoch_{epoch + 1}.npz"),
+                    {"step": opt_state.step, "mu": opt_state.mu, "nu": opt_state.nu},
+                )
 
         if (epoch + 1) % eval_every_epoch == 0 and val_dataset is not None:
             metrics = evaluate_epoch(

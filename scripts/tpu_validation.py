@@ -1,0 +1,145 @@
+"""On-chip validation: run the framework's hot paths on the real TPU and
+check VALUES against the CPU backend (the CI suite runs CPU-only, so this is
+the hardware truth check).  Run: ``python scripts/tpu_validation.py``.
+
+Covers: Pallas flash attention (compiled, not interpreted) vs XLA; GPT-2
+forward TPU vs CPU; KV-cached greedy generate TPU vs CPU; train step loss;
+fused RAT retrieval.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    from gpt2_image_captioning_tpu.core.precision import F32
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+    from gpt2_image_captioning_tpu.ops import nn
+    from gpt2_image_captioning_tpu.ops.attention import flash_attention
+
+    assert jax.default_backend() != "cpu", "run on the TPU"
+    cpu = jax.devices("cpu")[0]
+    failures = []
+
+    # --- 1. Pallas flash attention, compiled on TPU -----------------------
+    log("1/5 pallas flash attention vs XLA (compiled)...")
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 4, 65, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 4, 65, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 4, 65, 64)).astype(np.float32))
+    mask = np.ones((2, 65), np.int32)
+    mask[0, 50:] = 0
+    want = np.asarray(nn.attention_xla(q, k, v, causal=True, key_mask=jnp.asarray(mask)))
+    got = np.asarray(
+        jax.jit(lambda q, k, v, m: flash_attention(q, k, v, causal=True, key_mask=m))(
+            q, k, v, jnp.asarray(mask)
+        )
+    )
+    err = np.abs(got - want).max()
+    log(f"   flash maxdiff={err:.2e}")
+    if err > 1e-4:
+        failures.append(f"flash attention diff {err}")
+
+    # --- 2. GPT-2 forward TPU vs CPU ---------------------------------------
+    log("2/5 GPT-2 forward TPU vs CPU...")
+    gcfg = G.GPT2Config(vocab_size=1000, n_positions=96, n_embd=128, n_layer=3, n_head=4)
+    params = G.init(jax.random.PRNGKey(0), gcfg)
+    x = jnp.asarray(rng.normal(size=(4, 20, 128)).astype(np.float32))
+    tpu_logits = np.asarray(jax.jit(lambda p, x: G.forward(p, gcfg, x))(params, x))
+    cpu_logits = np.asarray(
+        jax.jit(lambda p, x: G.forward(p, gcfg, x), device=cpu)(
+            jax.device_put(params, cpu), jax.device_put(x, cpu)
+        )
+    )
+    err = np.abs(tpu_logits - cpu_logits).max()
+    log(f"   forward maxdiff={err:.2e}")
+    if err > 5e-3:
+        failures.append(f"gpt2 forward diff {err}")
+
+    # --- 3. KV-cached greedy generate TPU vs CPU ----------------------------
+    log("3/5 greedy generate TPU vs CPU...")
+    mcfg = M.MLPMappingConfig(prefix_length=3, embed_dim=16, gpt_dim=128)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=999)
+    tr, fz = C.init_params(jax.random.PRNGKey(1), ccfg)
+    emb = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    t0 = time.time()
+    tpu_toks = np.asarray(
+        C.generate(tr, fz, ccfg, emb, max_length=12, temperature=0.0, top_p=1.0)
+    )
+    log(f"   tpu generate took {time.time() - t0:.1f}s")
+    cpu_toks = np.asarray(
+        C.generate(
+            jax.device_put(tr, cpu), jax.device_put(fz, cpu), ccfg,
+            jax.device_put(emb, cpu), max_length=12, temperature=0.0, top_p=1.0,
+        )
+    )
+    same = (tpu_toks == cpu_toks).mean()
+    log(f"   token agreement: {same:.3f}")
+    if same < 0.95:  # argmax ties at f32 noise may flip the rare token
+        failures.append(f"generate agreement {same}")
+
+    # --- 4. train step ------------------------------------------------------
+    log("4/5 train step on TPU...")
+    from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
+    from gpt2_image_captioning_tpu.train import optim
+    from gpt2_image_captioning_tpu.train.loop import make_train_step
+
+    mesh = create_mesh(MeshSpec(dp=1, tp=1), devices=jax.devices()[:1])
+    opt_cfg = optim.AdamWConfig(learning_rate=1e-3, num_training_steps=10)
+    step_fn, (tr_sh, fr_sh, opt_sh, batch_sh) = make_train_step(ccfg, opt_cfg, mesh, F32)
+    batch = {
+        "token_ids": rng.integers(0, 999, size=(8, 12)).astype(np.int32),
+        "labels": rng.integers(0, 999, size=(8, 12)).astype(np.int32),
+        "attention_mask": np.ones((8, 12), np.int32),
+        "image_embedding": rng.normal(size=(8, 16)).astype(np.float32),
+    }
+    tr_d = jax.device_put(tr, tr_sh)
+    fz_d = jax.device_put(fz, fr_sh)
+    opt_d = jax.device_put(optim.init(tr), opt_sh)
+    new_tr, _, loss, gnorm = step_fn(tr_d, opt_d, fz_d, jax.device_put(batch, batch_sh), {})
+    loss_v, gnorm_v = float(np.asarray(loss)), float(np.asarray(gnorm))
+    log(f"   loss={loss_v:.4f} gnorm={gnorm_v:.4f}")
+    if not np.isfinite(loss_v):
+        failures.append("train step loss non-finite")
+
+    # --- 5. fused retrieval --------------------------------------------------
+    log("5/5 fused retrieval on TPU...")
+    from gpt2_image_captioning_tpu.retrieval.exact import fused_retrieve
+
+    img = rng.normal(size=(50, 16)).astype(np.float32)
+    img /= np.linalg.norm(img, axis=-1, keepdims=True)
+    caps = rng.normal(size=(120, 16)).astype(np.float32)
+    table = np.full((50, 3), -1, np.int32)
+    for i in range(50):
+        table[i, : 1 + i % 3] = np.arange(1 + i % 3) + (i * 2) % 118
+    out = np.asarray(
+        fused_retrieve(
+            jnp.asarray(img[:5]), jnp.asarray(img), jnp.asarray(caps),
+            jnp.asarray(table), top_i=3, top_k=4,
+        )
+    )
+    log(f"   retrieved shape {out.shape}, nonzero rows {(np.abs(out).sum(-1) > 0).sum()}")
+    if out.shape != (5, 4, 16):
+        failures.append("fused retrieve shape")
+
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("TPU validation: ALL CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()
