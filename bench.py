@@ -108,6 +108,33 @@ def main() -> None:
     )
     base_img_s = batch / total_s
 
+    # --- embedding extraction: CLIP ViT-B/32 encode throughput ------------
+    # (device compute only, synthetic pixels — the host JPEG pipeline is
+    # measured separately by the imagepipe tests).  The reference's committed
+    # anchor is ~65 img/s on its author's CUDA GPU (BASELINE.md).
+    from gpt2_image_captioning_tpu.models import clip as CL
+
+    vcfg = CL.CLIPVisionConfig.vit_b32()
+    vparams = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), CL.init_vision(jax.random.PRNGKey(1), vcfg)
+    )
+    enc_batch = 256
+    px = jnp.asarray(
+        np.random.default_rng(1).normal(size=(enc_batch, 3, 224, 224)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    @jax.jit
+    def encode(p, px):
+        return CL.encode_image(p, vcfg, px, policy=policy, normalize=True)
+
+    log("compiling clip encode...")
+    np.asarray(encode(vparams, px))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.asarray(encode(vparams, px))
+    clip_img_s = enc_batch * 5 / (time.perf_counter() - t0)
+    log(f"clip encode: {clip_img_s:.1f} img/s")
+
     print(
         json.dumps(
             {
@@ -118,6 +145,10 @@ def main() -> None:
                 "baseline": {
                     "what": "reference decode algorithm (uncached full re-forward/step) on the same chip",
                     "img_s": round(base_img_s, 2),
+                },
+                "extras": {
+                    "clip_vit_b32_encode_img_s": round(clip_img_s, 1),
+                    "vs_reference_gpu_extraction_65_img_s": round(clip_img_s / 65.0, 1),
                 },
                 "device": str(jax.devices()[0]),
             }

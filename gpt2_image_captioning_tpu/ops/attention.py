@@ -205,6 +205,8 @@ def mha(
 ) -> jnp.ndarray:
     """Attention dispatcher: Pallas flash kernel on TPU when shapes allow and
     ``q_offset`` is static, XLA einsum path otherwise."""
+    import os
+
     from gpt2_image_captioning_tpu.core.precision import F32
 
     policy = policy or F32
@@ -214,6 +216,7 @@ def mha(
             jax.default_backend() == "tpu"
             and static_offset
             and _vmem_fits(q.shape[2], k.shape[2], q.shape[3])
+            and not os.environ.get("GIC_DISABLE_PALLAS_ATTENTION")
         )
     if use_pallas:
         return flash_attention(

@@ -32,28 +32,10 @@ def main():
     assert jax.default_backend() != "cpu", "run on the TPU"
     cpu = jax.devices("cpu")[0]
     failures = []
-
-    # --- 1. Pallas flash attention, compiled on TPU -----------------------
-    log("1/5 pallas flash attention vs XLA (compiled)...")
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(2, 4, 65, 64)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(2, 4, 65, 64)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(2, 4, 65, 64)).astype(np.float32))
-    mask = np.ones((2, 65), np.int32)
-    mask[0, 50:] = 0
-    want = np.asarray(nn.attention_xla(q, k, v, causal=True, key_mask=jnp.asarray(mask)))
-    got = np.asarray(
-        jax.jit(lambda q, k, v, m: flash_attention(q, k, v, causal=True, key_mask=m))(
-            q, k, v, jnp.asarray(mask)
-        )
-    )
-    err = np.abs(got - want).max()
-    log(f"   flash maxdiff={err:.2e}")
-    if err > 1e-4:
-        failures.append(f"flash attention diff {err}")
 
     # --- 2. GPT-2 forward TPU vs CPU ---------------------------------------
-    log("2/5 GPT-2 forward TPU vs CPU...")
+    log("1/5 GPT-2 forward TPU vs CPU...")
     gcfg = G.GPT2Config(vocab_size=1000, n_positions=96, n_embd=128, n_layer=3, n_head=4)
     params = G.init(jax.random.PRNGKey(0), gcfg)
     x = jnp.asarray(rng.normal(size=(4, 20, 128)).astype(np.float32))
@@ -69,7 +51,7 @@ def main():
         failures.append(f"gpt2 forward diff {err}")
 
     # --- 3. KV-cached greedy generate TPU vs CPU ----------------------------
-    log("3/5 greedy generate TPU vs CPU...")
+    log("2/5 greedy generate TPU vs CPU...")
     mcfg = M.MLPMappingConfig(prefix_length=3, embed_dim=16, gpt_dim=128)
     ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=999)
     tr, fz = C.init_params(jax.random.PRNGKey(1), ccfg)
@@ -91,7 +73,7 @@ def main():
         failures.append(f"generate agreement {same}")
 
     # --- 4. train step ------------------------------------------------------
-    log("4/5 train step on TPU...")
+    log("3/5 train step on TPU...")
     from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
     from gpt2_image_captioning_tpu.train import optim
     from gpt2_image_captioning_tpu.train.loop import make_train_step
@@ -115,7 +97,7 @@ def main():
         failures.append("train step loss non-finite")
 
     # --- 5. fused retrieval --------------------------------------------------
-    log("5/5 fused retrieval on TPU...")
+    log("4/5 fused retrieval on TPU...")
     from gpt2_image_captioning_tpu.retrieval.exact import fused_retrieve
 
     img = rng.normal(size=(50, 16)).astype(np.float32)
@@ -133,6 +115,25 @@ def main():
     log(f"   retrieved shape {out.shape}, nonzero rows {(np.abs(out).sum(-1) > 0).sum()}")
     if out.shape != (5, 4, 16):
         failures.append("fused retrieve shape")
+
+    # --- last: Pallas flash attention, compiled on TPU ---------------------
+
+    log("5/5 pallas flash attention vs XLA (compiled)...")
+    q = jnp.asarray(rng.normal(size=(2, 4, 65, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 4, 65, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 4, 65, 64)).astype(np.float32))
+    mask = np.ones((2, 65), np.int32)
+    mask[0, 50:] = 0
+    want = np.asarray(nn.attention_xla(q, k, v, causal=True, key_mask=jnp.asarray(mask)))
+    got = np.asarray(
+        jax.jit(lambda q, k, v, m: flash_attention(q, k, v, causal=True, key_mask=m))(
+            q, k, v, jnp.asarray(mask)
+        )
+    )
+    err = np.abs(got - want).max()
+    log(f"   flash maxdiff={err:.2e}")
+    if err > 1e-4:
+        failures.append(f"flash attention diff {err}")
 
     print()
     if failures:

@@ -164,3 +164,48 @@ def test_rat_generate_with_store():
     raw = C.generate(model.trainable, model.frozen, ccfg, jnp.asarray(emb[:4, :16]),
                      max_length=5, temperature=0.0, top_p=1.0)
     assert np.asarray(out).shape == np.asarray(raw).shape
+
+
+def test_rat_training_host_store_path(tmp_path):
+    """RAT training through a HOST store (the C++ flat index): per-batch
+    retrieval feeds the step via batch['retrieved_embeddings']."""
+    from gpt2_image_captioning_tpu.retrieval import hnsw as H
+
+    if not H.available():
+        pytest.skip("libhnsw.so not built")
+    from helpers import make_synthetic_coco, tiny_tokenizer
+
+    from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
+    from gpt2_image_captioning_tpu.data.dataset import CocoDataset
+    from gpt2_image_captioning_tpu.retrieval.store import create_store
+    from gpt2_image_captioning_tpu.train.loop import train_rat
+
+    tok = tiny_tokenizer()
+    emb_path, ann_path, _ = make_synthetic_coco(tmp_path, n_images=8, captions_per_image=2)
+    ds = CocoDataset(emb_path, ann_path, tokenizer=tok, max_length=10)
+
+    # host store over the same corpus
+    rng2 = np.random.default_rng(5)
+    filenames = [f"COCO_val2017_{1000+i:012d}.jpg" for i in range(8)]
+    emb = rng2.normal(size=(8, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    entries = [
+        {"filenames": f, "embeddings": [
+            {"caption_id": i, "embedding": rng2.normal(size=(16,)).astype(np.float32)}]}
+        for i, f in enumerate(filenames)
+    ]
+    store = create_store(filenames, emb, entries, backend="flat")
+
+    gcfg = G.GPT2Config(vocab_size=tok.vocab_size, n_positions=64, n_embd=32, n_layer=1, n_head=2)
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=16, gpt_dim=32)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=tok.eos_token_id)
+    rcfg = R.RATConfig(embed_dim=16, aggregation_type="mean", top_k=3, top_i=2)
+    model = R.RetrievalAugmentedTransformer(rcfg, ccfg, tokenizer=tok, rng=jax.random.PRNGKey(0))
+
+    mesh = create_mesh(MeshSpec(dp=2, tp=1), devices=jax.devices()[:2])
+    hist = train_rat(
+        ds, model, store, top_k=3, top_i=2, batch_size=8, num_epochs=2,
+        learning_rate=3e-3, outputs_dir=str(tmp_path / "hk"), mesh=mesh,
+        log_dir=str(tmp_path / "hl"),
+    )
+    assert hist["epoch_losses"][1] < hist["epoch_losses"][0]
