@@ -92,3 +92,39 @@ def extract_caption_embeddings(
         torch.save(torch_result, output_path)
         print(f"Saved caption embeddings for {len(result)} images to {output_path}")
     return result
+
+
+def main() -> None:
+    """CLI: ``python -m gpt2_image_captioning_tpu.embeddings.word_embeddings``
+    — encode all captions of an annotations file (the reference's
+    word-embeddings notebook flow, ``src/embeddings/word_embeddings.py:85-171``)."""
+    import argparse
+
+    from gpt2_image_captioning_tpu.data.tokenizer import load_clip_tokenizer
+    from gpt2_image_captioning_tpu.models import clip as CL
+    from gpt2_image_captioning_tpu.models.porting import port_clip_text
+
+    p = argparse.ArgumentParser(description="Extract caption text embeddings (CLIP)")
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None, help="CLIP safetensors (full model)")
+    p.add_argument("--batch-size", type=int, default=256)
+    args = p.parse_args()
+
+    cfg = CL.CLIPTextConfig()
+    if args.checkpoint:
+        from safetensors.numpy import load_file
+
+        params = port_clip_text(load_file(args.checkpoint), cfg)
+    else:
+        import jax
+
+        params = CL.init_text(jax.random.PRNGKey(0), cfg)
+    extract_caption_embeddings(
+        args.annotations, args.output, params, cfg, load_clip_tokenizer(),
+        batch_size=args.batch_size,
+    )
+
+
+if __name__ == "__main__":
+    main()
