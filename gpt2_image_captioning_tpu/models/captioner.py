@@ -179,7 +179,8 @@ def mean_loss(
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_length", "temperature", "top_p", "policy")
+    jax.jit,
+    static_argnames=("cfg", "max_length", "temperature", "top_p", "policy", "unroll_decode"),
 )
 def generate(
     trainable: dict,
@@ -192,6 +193,7 @@ def generate(
     top_p: float = 0.9,
     rng: jax.Array | None = None,
     policy: Policy = F32,
+    unroll_decode: bool = True,
 ) -> jnp.ndarray:
     """Autoregressive caption generation → token ids (B, max_length).
 
@@ -224,7 +226,9 @@ def generate(
         nxt = jnp.where(finished, eos, nxt)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
         embed = G.embed_tokens(gpt_params, nxt[:, None]).astype(policy.compute_dtype)
-        logits, cache = G.forward_cached(gpt_params, cfg.gpt2, embed, cache, policy)
+        logits, cache = G.forward_cached(
+            gpt_params, cfg.gpt2, embed, cache, policy, unroll=unroll_decode
+        )
         return step + 1, tokens, logits, finished, cache, rng
 
     _, tokens, _, _, _, _ = jax.lax.while_loop(

@@ -234,13 +234,19 @@ def forward_cached(
     inputs_embeds: jnp.ndarray,
     cache: dict,
     policy: Policy = F32,
+    unroll: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """Forward ``inputs_embeds`` (B, T, D) starting at position
     ``cache['index']``; returns (last-position logits (B, V), updated cache).
 
-    T is the prefix length at prefill time and 1 per decode step.  Layers run
-    under ``lax.scan`` carrying the hidden state and threading each layer's
-    cache slice.
+    T is the prefix length at prefill time and 1 per decode step.  Two layer
+    iteration modes with identical numerics:
+
+    - ``unroll=False`` (default) — ``lax.scan`` threading each layer's cache
+      slice (compact graph; scan restacks the cache ys each call),
+    - ``unroll=True`` — python loop with per-layer ``.at[i]`` in-place cache
+      updates (XLA elides the copies; cheaper per decode step where the call
+      runs every generated token).
     """
     b, t, d = inputs_embeds.shape
     idx = cache["index"]
@@ -253,8 +259,8 @@ def forward_cached(
     key_valid = (jnp.arange(tk)[None, :] < idx + t).astype(jnp.int32)
     key_valid = jnp.broadcast_to(key_valid, (b, tk))
 
-    def body(x, layer_in):
-        bp, k_cache, v_cache = layer_in
+    def layer(x, bp, k_cache, v_cache):
+        """One block over (x, this layer's cache slabs) → (x, new slabs)."""
         h = nn.layer_norm(bp["ln_1"], x, cfg.layer_norm_epsilon)
         qkv = nn.dense(bp["attn"]["c_attn"], h, policy)
         q, k_new, v_new = (
@@ -279,10 +285,27 @@ def forward_cached(
         h = nn.layer_norm(bp["ln_2"], x, cfg.layer_norm_epsilon)
         h = nn.gelu_new(nn.dense(bp["mlp"]["c_fc"], h, policy))
         x = x + nn.dense(bp["mlp"]["c_proj"], h, policy)
-        return x, (k_cache, v_cache)
+        return x, k_cache, v_cache
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["blocks"], cache["k"], cache["v"]))
-    cache = {"k": new_k, "v": new_v, "index": idx + t}
+    if unroll:
+        k_all, v_all = cache["k"], cache["v"]
+        for i in range(cfg.n_layer):
+            bp = jax.tree.map(lambda p: p[i], params["blocks"])
+            x, k_i, v_i = layer(x, bp, k_all[i], v_all[i])
+            k_all = k_all.at[i].set(k_i)
+            v_all = v_all.at[i].set(v_i)
+        cache = {"k": k_all, "v": v_all, "index": idx + t}
+    else:
+        def body(x, layer_in):
+            bp, k_cache, v_cache = layer_in
+            x, k_cache, v_cache = layer(x, bp, k_cache, v_cache)
+            return x, (k_cache, v_cache)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["blocks"], cache["k"], cache["v"])
+        )
+        cache = {"k": new_k, "v": new_v, "index": idx + t}
+
     x = nn.layer_norm(params["ln_f"], x[:, -1:, :], cfg.layer_norm_epsilon)
     logits = jnp.dot(
         policy.cast(x[:, 0, :]),
