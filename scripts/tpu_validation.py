@@ -7,6 +7,8 @@ forward TPU vs CPU; KV-cached greedy generate TPU vs CPU; train step loss;
 fused RAT retrieval.
 """
 
+import contextlib
+import os
 import sys
 import time
 
@@ -15,6 +17,17 @@ sys.path.insert(0, ".")
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def xla_attention():
+    """mha() keys its pallas dispatch off the global backend at TRACE time;
+    CPU-reference computations must trace with the XLA path."""
+    os.environ["GIC_DISABLE_PALLAS_ATTENTION"] = "1"
+    try:
+        yield
+    finally:
+        os.environ.pop("GIC_DISABLE_PALLAS_ATTENTION", None)
 
 
 def log(msg):
@@ -40,11 +53,12 @@ def main():
     params = G.init(jax.random.PRNGKey(0), gcfg)
     x = jnp.asarray(rng.normal(size=(4, 20, 128)).astype(np.float32))
     tpu_logits = np.asarray(jax.jit(lambda p, x: G.forward(p, gcfg, x))(params, x))
-    cpu_logits = np.asarray(
-        jax.jit(lambda p, x: G.forward(p, gcfg, x), device=cpu)(
-            jax.device_put(params, cpu), jax.device_put(x, cpu)
+    with xla_attention():
+        cpu_logits = np.asarray(
+            jax.jit(lambda p, x: G.forward(p, gcfg, x), device=cpu)(
+                jax.device_put(params, cpu), jax.device_put(x, cpu)
+            )
         )
-    )
     err = np.abs(tpu_logits - cpu_logits).max()
     log(f"   forward maxdiff={err:.2e}")
     # bf16-pass matmul noise accumulated over layers and the big vocab matmul
@@ -62,12 +76,14 @@ def main():
         C.generate(tr, fz, ccfg, emb, max_length=12, temperature=0.0, top_p=1.0)
     )
     log(f"   tpu generate took {time.time() - t0:.1f}s")
-    cpu_toks = np.asarray(
-        C.generate(
-            jax.device_put(tr, cpu), jax.device_put(fz, cpu), ccfg,
-            jax.device_put(emb, cpu), max_length=12, temperature=0.0, top_p=1.0,
-        )
-    )
+    with xla_attention():
+        with jax.default_device(cpu):
+            cpu_toks = np.asarray(
+                C.generate(
+                    jax.device_put(tr, cpu), jax.device_put(fz, cpu), ccfg,
+                    jax.device_put(emb, cpu), max_length=12, temperature=0.0, top_p=1.0,
+                )
+            )
     same = (tpu_toks == cpu_toks).mean()
     log(f"   token agreement: {same:.3f}")
     if same < 0.95:  # argmax ties at f32 noise may flip the rare token
