@@ -33,6 +33,22 @@ from gpt2_image_captioning_tpu.embeddings.preprocess import (
 )
 
 
+def _make_loader(image_dir: str, spec: PreprocessSpec, batch_size: int, num_workers: int):
+    """Prefer the C++ fused decode pipeline when built; PIL threads otherwise."""
+    from gpt2_image_captioning_tpu.data import native_pipe
+
+    if native_pipe.available():
+        return native_pipe.NativeImageBatchLoader(
+            image_dir, spec, batch_size=batch_size, num_workers=num_workers
+        )
+    return ImageBatchLoader(
+        image_dir,
+        preprocess=make_host_preprocess(spec),
+        batch_size=batch_size,
+        num_workers=num_workers,
+    )
+
+
 def _run_extraction(
     image_dir: str,
     output_path: str | None,
@@ -42,12 +58,7 @@ def _run_extraction(
     num_workers: int,
     desc: str,
 ) -> tuple[list[str], np.ndarray]:
-    loader = ImageBatchLoader(
-        image_dir,
-        preprocess=make_host_preprocess(spec),
-        batch_size=batch_size,
-        num_workers=num_workers,
-    )
+    loader = _make_loader(image_dir, spec, batch_size, num_workers)
     all_names: list[str] = []
     chunks: list[np.ndarray] = []
     n_total = len(loader.dir)

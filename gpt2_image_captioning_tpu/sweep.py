@@ -71,6 +71,7 @@ def run_one(cfg: Config, run_id: str, base_dir: str, description: str = "") -> d
         test_ds = CocoDataset(
             test_emb, test_ann, tokenizer=tokenizer, max_length=cfg.max_caption_length
         )
+        tpu_block = cfg.get("tpu", {})
         preds = generate_test_caption_predictions(
             model,
             test_ds,
@@ -79,6 +80,8 @@ def run_one(cfg: Config, run_id: str, base_dir: str, description: str = "") -> d
             max_length=cfg.max_caption_length,
             temperature=cfg.validation.temperature,
             top_p=cfg.validation.top_p,
+            decode="beam" if tpu_block.get("decode") == "beam" else "sample",
+            beam_size=tpu_block.get("beam_size", 4),
         )
         metrics = evaluate_captions(preds, test_ann)
         import json
