@@ -48,6 +48,7 @@ def generate_predictions(
     db_store=None,
     top_k: int | None = None,
     top_i: int | None = None,
+    mesh=None,
 ) -> list[dict[str, Any]]:
     """Generate one caption per unique image → ``[{"image_id", "caption"}]``.
 
@@ -75,9 +76,17 @@ def generate_predictions(
         augment = lambda emb: R.augment_batch(
             model.trainable, rcfg, db_store, emb, model.policy
         )
+    shard = None
+    if mesh is not None and mesh.shape.get("dp", 1) > 1:
+        from gpt2_image_captioning_tpu.core.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+        shard = lambda emb: jax.device_put(np.asarray(emb), sharding)
     for i, batch in enumerate(dataset.unique_image_batches(batch_size)):
         if augment is not None:
             batch = dict(batch, image_embedding=augment(batch["image_embedding"]))
+        if shard is not None:
+            batch = dict(batch, image_embedding=shard(batch["image_embedding"]))
         if decode == "beam":
             ids = C.beam_generate(
                 model.trainable,
@@ -128,6 +137,7 @@ def generate_and_evaluate(
     db_store=None,
     top_k: int | None = None,
     top_i: int | None = None,
+    mesh=None,
     **_ignored,
 ) -> tuple[list[dict[str, Any]], EvalMetrics]:
     """Generate for the whole dataset, then score (reference
@@ -145,6 +155,7 @@ def generate_and_evaluate(
         db_store=db_store,
         top_k=top_k,
         top_i=top_i,
+        mesh=mesh,
     )
     metrics = evaluate_captions(predictions, annotations_path)
     return predictions, metrics
@@ -167,6 +178,7 @@ def evaluate_epoch(
     db_store=None,
     top_k: int | None = None,
     top_i: int | None = None,
+    mesh=None,
     **_ignored,
 ) -> EvalMetrics:
     """Per-epoch eval with the reference's artifact naming
@@ -185,6 +197,7 @@ def evaluate_epoch(
         db_store=db_store,
         top_k=top_k,
         top_i=top_i,
+        mesh=mesh,
     )
     print(f"\nResults: {metrics}")
     save_epoch_artifacts(predictions, metrics, output_dir, epoch, split_name, rat=rat)

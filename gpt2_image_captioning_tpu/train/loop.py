@@ -356,6 +356,7 @@ def train(
                 db_store=db_store,
                 top_k=getattr(rat_cfg, "top_k", None),
                 top_i=getattr(rat_cfg, "top_i", None),
+                mesh=mesh,
             )
             val_metrics_history.append({"epoch": epoch + 1, "loss": avg_loss, **metrics.to_dict()})
             logger.add_scalars(
