@@ -14,7 +14,6 @@ rather than PIL-bound.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Callable
 

@@ -315,7 +315,9 @@ def beam_generate(
         )
 
         embed = G.embed_tokens(gpt_params, tok.reshape(b * k, 1)).astype(policy.compute_dtype)
-        logits, cache = G.forward_cached(gpt_params, cfg.gpt2, embed, cache, policy)
+        logits, cache = G.forward_cached(
+            gpt_params, cfg.gpt2, embed, cache, policy, unroll=True
+        )
         return (new_scores, tokens, newly_finished, lengths, logits, cache), None
 
     carry = (scores0, tokens0, finished0, lengths0, logits, cache)

@@ -25,8 +25,6 @@ validated numerically in tests against randomly-initialized HF models.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

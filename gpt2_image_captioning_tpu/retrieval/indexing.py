@@ -35,7 +35,7 @@ def run_indexing_pipeline(
     ef_search: int = 64,
 ):
     """Build + save the in-memory-style dual-index store (FAISS-pipeline role)."""
-    from gpt2_image_captioning_tpu.retrieval.store import VectorStore, create_store
+    from gpt2_image_captioning_tpu.retrieval.store import create_store
 
     filenames, image_emb, caption_entries = _load_inputs(
         image_embeddings_path, caption_embeddings_path

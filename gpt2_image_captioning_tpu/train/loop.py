@@ -21,7 +21,6 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any
@@ -208,8 +207,6 @@ def train(
 
     def host_retrieve(batch: dict) -> dict:
         """Host-store RAT: attach retrieved caption embeddings to the batch."""
-        from gpt2_image_captioning_tpu.retrieval import exact as device_backend
-
         results = db_store.retrieve_images_by_vector_similarity(
             np.asarray(batch["image_embedding"], np.float32), rat_cfg.top_i
         )
