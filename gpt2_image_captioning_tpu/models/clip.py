@@ -29,6 +29,11 @@ from gpt2_image_captioning_tpu.ops import nn
 from gpt2_image_captioning_tpu.ops.attention import mha
 
 
+def _stack(layers: list[dict]) -> dict:
+    """Per-layer param dicts → one stacked pytree (scan-over-layers)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
 @dataclasses.dataclass(frozen=True)
 class CLIPVisionConfig:
     hidden_size: int = 768
@@ -134,10 +139,10 @@ def init_vision(rng: jax.Array, cfg: CLIPVisionConfig) -> dict:
         "patch_embedding": nn.normal(ks[1], (patch_dim, d), 0.02),
         "position_embedding": nn.normal(ks[2], (cfg.num_patches + 1, d), 0.02),
         "pre_layernorm": nn.layer_norm_init(d),
-        "layers": [
-            _init_clip_layer(ks[4 + i], d, cfg.intermediate_size)
-            for i in range(cfg.num_hidden_layers)
-        ],
+        "layers": _stack(
+            [_init_clip_layer(ks[4 + i], d, cfg.intermediate_size)
+             for i in range(cfg.num_hidden_layers)]
+        ),
         "post_layernorm": nn.layer_norm_init(d),
         "visual_projection": {"w": nn.normal(ks[3], (d, cfg.projection_dim), 0.02)},
     }
@@ -171,10 +176,15 @@ def vision_features(
     x = x + params["position_embedding"].astype(jnp.float32)[None]
     x = x.astype(policy.compute_dtype)
     x = nn.layer_norm(params["pre_layernorm"], x, cfg.layer_norm_eps)
-    for lp in params["layers"]:
-        x = _clip_layer(
-            lp, x, cfg.num_attention_heads, cfg.layer_norm_eps, causal=False, policy=policy
+
+    def body(x, lp):
+        return (
+            _clip_layer(lp, x, cfg.num_attention_heads, cfg.layer_norm_eps,
+                        causal=False, policy=policy),
+            None,
         )
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
     return nn.layer_norm(params["post_layernorm"], x[:, 0], cfg.layer_norm_eps)
 
 
@@ -208,10 +218,10 @@ def init_text(rng: jax.Array, cfg: CLIPTextConfig) -> dict:
     return {
         "token_embedding": nn.normal(ks[0], (cfg.vocab_size, d), 0.02),
         "position_embedding": nn.normal(ks[1], (cfg.max_position_embeddings, d), 0.02),
-        "layers": [
-            _init_clip_layer(ks[3 + i], d, cfg.intermediate_size)
-            for i in range(cfg.num_hidden_layers)
-        ],
+        "layers": _stack(
+            [_init_clip_layer(ks[3 + i], d, cfg.intermediate_size)
+             for i in range(cfg.num_hidden_layers)]
+        ),
         "final_layernorm": nn.layer_norm_init(d),
         "text_projection": {"w": nn.normal(ks[2], (d, cfg.projection_dim), 0.02)},
     }
@@ -231,10 +241,15 @@ def encode_text(
     x = jnp.take(params["token_embedding"], input_ids, axis=0).astype(jnp.float32)
     x = x + params["position_embedding"][:t].astype(jnp.float32)[None]
     x = x.astype(policy.compute_dtype)
-    for lp in params["layers"]:
-        x = _clip_layer(
-            lp, x, cfg.num_attention_heads, cfg.layer_norm_eps, causal=True, policy=policy
+
+    def body(x, lp):
+        return (
+            _clip_layer(lp, x, cfg.num_attention_heads, cfg.layer_norm_eps,
+                        causal=True, policy=policy),
+            None,
         )
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
     x = nn.layer_norm(params["final_layernorm"], x, cfg.layer_norm_eps)
     eot = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
     pooled = x[jnp.arange(b), eot]

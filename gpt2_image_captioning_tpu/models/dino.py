@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from gpt2_image_captioning_tpu.core.precision import F32, Policy
-from gpt2_image_captioning_tpu.models.clip import extract_patches
+from gpt2_image_captioning_tpu.models.clip import _stack, extract_patches
 from gpt2_image_captioning_tpu.ops import nn
 from gpt2_image_captioning_tpu.ops.attention import mha
 
@@ -135,7 +135,7 @@ def init(rng: jax.Array, cfg: DINOv3Config) -> dict:
         },
         "cls_token": nn.normal(ks[1], (1, 1, d), 0.02),
         "register_tokens": nn.normal(ks[2], (1, cfg.num_register_tokens, d), 0.02),
-        "blocks": [_init_block(ks[4 + i], cfg) for i in range(cfg.num_hidden_layers)],
+        "blocks": _stack([_init_block(ks[4 + i], cfg) for i in range(cfg.num_hidden_layers)]),
         "norm": nn.layer_norm_init(d),
         # dino.txt vision head: concat(CLS, mean-patch) -> text space
         "head": {"w": nn.normal(ks[3], (2 * d, cfg.text_embed_dim), 0.02)},
@@ -184,8 +184,11 @@ def forward(
     x = jnp.concatenate([cls, regs, x], axis=1)
     n_special = 1 + cfg.num_register_tokens
     cos, sin = rope_angles(cfg, gh, gw)
-    for bp in params["blocks"]:
-        x = _block(bp, cfg, x, cos, sin, n_special, policy)
+
+    def body(x, bp):
+        return _block(bp, cfg, x, cos, sin, n_special, policy), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
     x = nn.layer_norm(params["norm"], x, cfg.layer_norm_eps)
     return x[:, 0], x[:, n_special:]
 

@@ -210,7 +210,7 @@ def export_transformer_mapping(
 # CLIP (HF CLIPVisionModelWithProjection / CLIPTextModelWithProjection)
 # ---------------------------------------------------------------------------
 
-def _clip_encoder_layers(sd: Mapping, prefix: str, n_layers: int) -> list[dict]:
+def _clip_encoder_layers(sd: Mapping, prefix: str, n_layers: int) -> dict:
     layers = []
     for i in range(n_layers):
         p = f"{prefix}encoder.layers.{i}"
@@ -230,7 +230,9 @@ def _clip_encoder_layers(sd: Mapping, prefix: str, n_layers: int) -> list[dict]:
                 },
             }
         )
-    return layers
+    from gpt2_image_captioning_tpu.models.clip import _stack
+
+    return _stack(layers)
 
 
 def port_clip_vision(state_dict: Mapping[str, object], cfg) -> dict:
@@ -306,6 +308,8 @@ def port_vit(state_dict: Mapping[str, object], cfg) -> dict:
                 },
             }
         )
+    from gpt2_image_captioning_tpu.models.clip import _stack
+
     return {
         "cls_token": jnp.asarray(_np(sd["embeddings.cls_token"])),
         "patch_embedding": {
@@ -313,7 +317,7 @@ def port_vit(state_dict: Mapping[str, object], cfg) -> dict:
             "b": jnp.asarray(_np(sd["embeddings.patch_embeddings.projection.bias"])),
         },
         "position_embeddings": jnp.asarray(_np(sd["embeddings.position_embeddings"])),
-        "layers": layers,
+        "layers": _stack(layers),
         "final_layernorm": _ln(sd, "layernorm"),
         "pooler": _linear(sd, "pooler.dense", transpose=True),
     }
@@ -358,6 +362,8 @@ def port_dinov3_backbone(state_dict: Mapping[str, object], cfg) -> dict:
                 "gamma2": jnp.asarray(_np(sd[f"{p}.ls2.gamma"])),
             }
         )
+    from gpt2_image_captioning_tpu.models.clip import _stack
+
     return {
         "patch_embedding": {
             "w": jnp.asarray(conv.reshape(d, -1).T),
@@ -365,7 +371,7 @@ def port_dinov3_backbone(state_dict: Mapping[str, object], cfg) -> dict:
         },
         "cls_token": jnp.asarray(_np(sd["cls_token"]).reshape(1, 1, d)),
         "register_tokens": jnp.asarray(_np(sd[reg_key]).reshape(1, -1, d)),
-        "blocks": blocks,
+        "blocks": _stack(blocks),
         "norm": _ln(sd, "norm"),
         # head filled in by port_dinotxt_head; placeholder keeps tree shape
         "head": {"w": jnp.zeros((2 * d, cfg.text_embed_dim), jnp.float32)},

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from gpt2_image_captioning_tpu.core.precision import F32, Policy
-from gpt2_image_captioning_tpu.models.clip import extract_patches
+from gpt2_image_captioning_tpu.models.clip import _stack, extract_patches
 from gpt2_image_captioning_tpu.ops import nn
 from gpt2_image_captioning_tpu.ops.attention import mha
 
@@ -79,10 +79,10 @@ def init(rng: jax.Array, cfg: ViTConfig) -> dict:
             "b": jnp.zeros((d,)),
         },
         "position_embeddings": nn.normal(ks[2], (1, cfg.num_patches + 1, d), 0.02),
-        "layers": [
-            _init_layer(ks[4 + i], d, cfg.intermediate_size)
-            for i in range(cfg.num_hidden_layers)
-        ],
+        "layers": _stack(
+            [_init_layer(ks[4 + i], d, cfg.intermediate_size)
+             for i in range(cfg.num_hidden_layers)]
+        ),
         "final_layernorm": nn.layer_norm_init(d),
         "pooler": nn.dense_init(ks[3], d, d, std=None),
     }
@@ -113,8 +113,10 @@ def forward(
     x = (x.astype(jnp.float32) + params["position_embeddings"].astype(jnp.float32)).astype(
         policy.compute_dtype
     )
-    for lp in params["layers"]:
-        x = _layer(lp, x, cfg.num_attention_heads, cfg.layer_norm_eps, policy)
+    def body(x, lp):
+        return _layer(lp, x, cfg.num_attention_heads, cfg.layer_norm_eps, policy), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
     x = nn.layer_norm(params["final_layernorm"], x, cfg.layer_norm_eps)
     pooled = jnp.tanh(nn.dense(params["pooler"], x[:, 0], policy).astype(jnp.float32))
     return x, pooled.astype(policy.compute_dtype)

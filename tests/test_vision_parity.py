@@ -158,8 +158,9 @@ def test_dinov3_port_mapping_and_forward():
     # ported leaves land where the forward expects them
     assert params["patch_embedding"]["w"].shape == (3 * cfg.patch_size**2, cfg.hidden_size)
     assert params["register_tokens"].shape == (1, cfg.num_register_tokens, cfg.hidden_size)
+    # blocks are stacked (leading layer dim) for scan-over-layers
     np.testing.assert_allclose(
-        np.asarray(params["blocks"][0]["gamma1"]),
+        np.asarray(params["blocks"]["gamma1"][0]),
         twin.blocks[0].ls1.gamma.detach().numpy(),
     )
     x = _px(seed=4)
