@@ -353,7 +353,28 @@ class ImageCaptioningModel:
         self.trainable, self.frozen = init_params(rng, cfg, gpt_params)
 
     # -- compute ------------------------------------------------------------
-    def forward(self, batch: dict) -> jnp.ndarray:
+    def forward(
+        self,
+        batch: dict | None = None,
+        *,
+        caption_token_ids=None,
+        image_embeddings=None,
+        attention_mask=None,
+        labels=None,
+    ) -> jnp.ndarray:
+        """Teacher-forced mean loss.  Accepts either a batch dict or the
+        reference's keyword signature (``src/models.py:237-243``)."""
+        if batch is None:
+            if attention_mask is None:
+                attention_mask = jnp.ones_like(jnp.asarray(caption_token_ids))
+            if labels is None:
+                labels = jnp.asarray(caption_token_ids)
+            batch = {
+                "token_ids": jnp.asarray(caption_token_ids),
+                "labels": jnp.asarray(labels),
+                "attention_mask": jnp.asarray(attention_mask),
+                "image_embedding": jnp.asarray(image_embeddings),
+            }
         return mean_loss(self.trainable, self.frozen, self.cfg, batch, self.policy)
 
     def generate(

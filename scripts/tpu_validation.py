@@ -133,6 +133,19 @@ def main():
     if out.shape != (5, 4, 16):
         failures.append("fused retrieve shape")
 
+    # --- beam search on-chip sanity ----------------------------------------
+    log("beam: beam_generate(4) on TPU...")
+    beam_toks = np.asarray(
+        C.beam_generate(tr, fz, ccfg, emb, max_length=8, beam_size=4)
+    )
+    greedy8 = np.asarray(
+        C.generate(tr, fz, ccfg, emb, max_length=8, temperature=0.0, top_p=1.0)
+    )
+    log(f"   beam shape {beam_toks.shape}; rows differing from greedy: "
+        f"{(beam_toks != greedy8).any(axis=1).sum()}/4")
+    if beam_toks.shape != greedy8.shape:
+        failures.append("beam output shape")
+
     # --- last: Pallas flash attention, compiled on TPU ---------------------
 
     log("5/5 pallas flash attention vs XLA (compiled)...")
