@@ -143,9 +143,10 @@ def launch_app(
     class Handler(SimpleHTTPRequestHandler):
         def do_GET(self):
             if self.path.startswith("/images/"):
-                fname = os.path.normpath(self.path[len("/images/"):]).lstrip("/")
-                full = os.path.join(images_dir, fname)
-                if not full.startswith(images_dir) or not os.path.exists(full):
+                fname = self.path[len("/images/"):]
+                full = os.path.abspath(os.path.join(images_dir, fname))
+                # resolve before containment check (blocks ../ traversal)
+                if not full.startswith(images_dir + os.sep) or not os.path.exists(full):
                     self.send_error(404)
                     return
                 self.send_response(200)
