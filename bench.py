@@ -108,6 +108,36 @@ def main() -> None:
     )
     base_img_s = batch / total_s
 
+    # --- training-step throughput (flagship config) ------------------------
+    from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
+    from gpt2_image_captioning_tpu.train import optim as _optim
+    from gpt2_image_captioning_tpu.train.loop import make_train_step
+
+    mesh = create_mesh(MeshSpec(dp=1, tp=1), devices=jax.devices()[:1])
+    opt_cfg = _optim.AdamWConfig(learning_rate=1e-4, num_training_steps=1000)
+    step_fn, (tr_sh, fr_sh, opt_sh, batch_sh) = make_train_step(ccfg, opt_cfg, mesh, policy)
+    rng_np = np.random.default_rng(2)
+    tbatch = {
+        "token_ids": rng_np.integers(0, 50256, size=(batch, 50)).astype(np.int32),
+        "labels": rng_np.integers(0, 50256, size=(batch, 50)).astype(np.int32),
+        "attention_mask": np.ones((batch, 50), np.int32),
+        "image_embedding": rng_np.normal(size=(batch, 512)).astype(np.float32),
+    }
+    tr_d = jax.device_put(jax.tree.map(lambda x: x.astype(jnp.float32), trainable), tr_sh)
+    fz_d = jax.device_put(frozen, fr_sh)
+    opt_d = jax.device_put(_optim.init(tr_d), opt_sh)
+    b_d = jax.device_put(tbatch, batch_sh)
+    log("compiling train step...")
+    tr_d, opt_d, loss, _ = step_fn(tr_d, opt_d, fz_d, b_d, {})
+    float(np.asarray(loss))  # sync
+    t0 = time.perf_counter()
+    n_steps = 15
+    for _ in range(n_steps):
+        tr_d, opt_d, loss, _ = step_fn(tr_d, opt_d, fz_d, b_d, {})
+    float(np.asarray(loss))
+    train_caps_s = batch * n_steps / (time.perf_counter() - t0)
+    log(f"train: {train_caps_s:.0f} captions/s")
+
     # --- embedding extraction: CLIP ViT-B/32 encode throughput ------------
     # (device compute only, synthetic pixels — the host JPEG pipeline is
     # measured separately by the imagepipe tests).  The reference's committed
@@ -149,6 +179,7 @@ def main() -> None:
                 "extras": {
                     "clip_vit_b32_encode_img_s": round(clip_img_s, 1),
                     "vs_reference_gpu_extraction_65_img_s": round(clip_img_s / 65.0, 1),
+                    "train_step_captions_s_b128": round(train_caps_s, 1),
                 },
                 "device": str(jax.devices()[0]),
             }
