@@ -130,3 +130,31 @@ def save_epoch_artifacts(
             f,
             indent=2,
         )
+
+
+def per_image_metrics(
+    predictions: list[dict[str, Any]],
+    annotations_path: str,
+) -> dict[int, dict[str, float]]:
+    """Per-image BLEU-4 / ROUGE-L / CIDEr (the scorers' per-item outputs),
+    keyed by image_id — feeds the results viewer's metric chips."""
+    from gpt2_image_captioning_tpu.evaluation.metrics import Bleu, Cider, Rouge
+
+    refs_all = load_coco_references(annotations_path)
+    preds = {p["image_id"]: [p["caption"]] for p in predictions}
+    common = [i for i in preds if i in refs_all]
+    if not common:
+        return {}
+    gts = {i: refs_all[i] for i in common}
+    res = {i: preds[i] for i in common}
+    _, bleu_items = Bleu(4).compute_score(gts, res)
+    _, rouge_items = Rouge().compute_score(gts, res)
+    _, cider_items = Cider().compute_score(gts, res)
+    return {
+        img_id: {
+            "BLEU-4": float(bleu_items[3][i]),
+            "ROUGE-L": float(rouge_items[i]),
+            "CIDEr": float(cider_items[i]),
+        }
+        for i, img_id in enumerate(gts)
+    }

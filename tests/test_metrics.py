@@ -160,3 +160,28 @@ def test_parity_with_pycocoevalcap_if_available():
     ours_c, _ = Cider().compute_score(gts, res)
     ref_c, _ = PCider().compute_score(gts, res)
     assert ours_c == pytest.approx(ref_c, rel=1e-12)
+
+
+def test_per_image_metrics(tmp_path):
+    import json
+
+    from gpt2_image_captioning_tpu.evaluation.evaluate import per_image_metrics
+
+    ann = {
+        "images": [{"id": 1}, {"id": 2}],
+        "annotations": [
+            {"image_id": 1, "caption": "a cat on a mat"},
+            {"image_id": 2, "caption": "a dog in the park"},
+        ],
+    }
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    out = per_image_metrics(
+        [{"image_id": 1, "caption": "a cat on a mat"},
+         {"image_id": 2, "caption": "something else entirely"}],
+        str(p),
+    )
+    assert set(out) == {1, 2}
+    assert out[1]["ROUGE-L"] == pytest.approx(1.0)
+    assert out[2]["ROUGE-L"] < 0.5
+    assert out[1]["CIDEr"] > out[2]["CIDEr"]

@@ -23,6 +23,8 @@ def main() -> None:
     p.add_argument("--images-dir", required=True, help="directory with the images")
     p.add_argument("--annotations", required=True, help="COCO annotations JSON")
     p.add_argument("--metrics", default=None, help="optional per-image metrics JSON")
+    p.add_argument("--compute-metrics", action="store_true",
+                   help="compute per-image BLEU-4/ROUGE-L/CIDEr for the chips")
     p.add_argument("--port", type=int, default=5151)
     p.add_argument("--dataset-name", default="captioning-results")
     p.add_argument("--no-browser", action="store_true")
@@ -32,6 +34,11 @@ def main() -> None:
     if args.metrics:
         with open(args.metrics) as f:
             metrics = {int(k): v for k, v in json.load(f).items()}
+    elif args.compute_metrics:
+        from gpt2_image_captioning_tpu.evaluation.evaluate import per_image_metrics
+
+        with open(args.predictions) as f:
+            metrics = per_image_metrics(json.load(f), args.annotations)
 
     samples = create_captioning_dataset(
         args.predictions,
