@@ -99,6 +99,17 @@ class CocoDataset:
 
         with open(annotations_path, "r") as f:
             coco = json.load(f)
+        missing = {
+            a["image_id"] for a in coco["annotations"]
+            if a["image_id"] not in self.image_id_to_index
+        }
+        if missing:
+            sample = sorted(missing)[:5]
+            raise KeyError(
+                f"{len(missing)} annotation image ids have no embedding in "
+                f"{embeddings_path} (e.g. {sample}) — did you extract embeddings "
+                "for this split's image directory?"
+            )
         self.captions: list[CaptionData] = [
             CaptionData(
                 image_id=a["image_id"],
