@@ -44,6 +44,33 @@ def run_one(cfg: Config, run_id: str, base_dir: str, description: str = "") -> d
     # parameter counts on a freshly-built model (same config)
     tokenizer = load_gpt2_tokenizer()
     model = build_model(cfg, tokenizer)
+    db_store = None
+    if cfg.get("retrieval_augmentation", False):
+        # the reference reuses the training store for the RAT test pass
+        # (sweep.py:241-251); rebuild it and wrap the model
+        from gpt2_image_captioning_tpu.models.rat import (
+            RATConfig,
+            RetrievalAugmentedTransformer,
+            init_aggregator,
+        )
+        from gpt2_image_captioning_tpu.retrieval.rat_pipeline import build_store
+
+        rcfg = RATConfig(
+            embed_dim=cfg.retrieval.embed_dim,
+            aggregation_type=cfg.retrieval.get("aggregation_type", "mean"),
+            top_k=cfg.retrieval.top_k,
+            top_i=cfg.retrieval.top_i,
+        )
+        rat_model = RetrievalAugmentedTransformer.__new__(RetrievalAugmentedTransformer)
+        rat_model.__dict__.update(model.__dict__)
+        rat_model.rcfg = rcfg
+        import jax as _jax
+
+        agg = init_aggregator(_jax.random.PRNGKey(cfg.get("seed", 42) + 1), rcfg)
+        if agg:
+            rat_model.trainable["aggregator"] = agg
+        model = rat_model
+        db_store = build_store(cfg)
     trainable, total = count_model_parameters(model.trainable, model.frozen)
     # reload the best/latest trained weights for the test pass
     ckpts = sorted(
@@ -82,6 +109,9 @@ def run_one(cfg: Config, run_id: str, base_dir: str, description: str = "") -> d
             top_p=cfg.validation.top_p,
             decode="beam" if tpu_block.get("decode") == "beam" else "sample",
             beam_size=tpu_block.get("beam_size", 4),
+            db_store=db_store,
+            top_k=cfg.retrieval.top_k if db_store is not None else None,
+            top_i=cfg.retrieval.top_i if db_store is not None else None,
         )
         metrics = evaluate_captions(preds, test_ann)
         import json
