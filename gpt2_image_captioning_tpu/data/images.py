@@ -15,7 +15,6 @@ a prefetching pipeline:
 from __future__ import annotations
 
 import os
-import queue
 import threading
 from typing import Callable, Iterator
 
@@ -85,9 +84,16 @@ class ImageBatchLoader:
         next_idx = [0]
         stop = threading.Event()
 
+        max_backlog = max(1, self.prefetch) * self.batch_size
+
         def worker():
             while not stop.is_set():
-                with lock:
+                with done:
+                    # bounded prefetch: check BEFORE claiming an index so a
+                    # claimed item always gets inserted (no consumer deadlock);
+                    # backlog is bounded by max_backlog + num_workers
+                    while len(results) >= max_backlog and not stop.is_set():
+                        done.wait(timeout=1.0)
                     if next_idx[0] >= n:
                         return
                     i = next_idx[0]
@@ -113,6 +119,7 @@ class ImageBatchLoader:
                         while i not in results:
                             done.wait(timeout=60.0)
                         item = results.pop(i)
+                        done.notify_all()  # wake producers gated on backlog
                     if isinstance(item, Exception):
                         raise RuntimeError(f"failed to load {self.dir.filenames[i]}") from item
                     items.append(item)
