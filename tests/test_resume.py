@@ -69,3 +69,18 @@ def test_resume_noop_when_complete(tmp_path):
     hist = train(ds, m, batch_size=8, num_epochs=1, save_every_epoch=1, outputs_dir=out,
                  mesh=mesh, resume=True, log_dir=str(tmp_path / "lc2"))
     assert hist["epoch_losses"] == []  # nothing left to do
+
+
+def test_profile_trace_capture(tmp_path):
+    """profile_dir captures a jax.profiler trace of an early step."""
+    tok = tiny_tokenizer()
+    emb_path, ann_path, _ = make_synthetic_coco(tmp_path, n_images=8)
+    ds = CocoDataset(emb_path, ann_path, tokenizer=tok, max_length=10)
+    mesh = create_mesh(MeshSpec(dp=2, tp=1), devices=jax.devices()[:2])
+    m = _model(tok)
+    prof_dir = str(tmp_path / "prof")
+    train(ds, m, batch_size=4, num_epochs=1, outputs_dir=str(tmp_path / "o"),
+          mesh=mesh, log_dir=str(tmp_path / "l"), profile_dir=prof_dir)
+    import glob
+
+    assert glob.glob(prof_dir + "/**/*", recursive=True), "no trace files written"
