@@ -203,8 +203,16 @@ def mha(
     policy=None,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Attention dispatcher: Pallas flash kernel on TPU when shapes allow and
-    ``q_offset`` is static, XLA einsum path otherwise."""
+    """Attention dispatcher.
+
+    Default is the XLA path: measured on a v5e at this stack's shapes
+    (seq ≤ 257, head_dim 64), XLA's fused attention beats the Pallas flash
+    kernel by 15-25% in both inference and training (docs/PERF_NOTES.md) —
+    the sequences are too short for flash-style tiling to pay off.  The
+    Pallas kernel stays available (``use_pallas=True`` or
+    ``GIC_FORCE_PALLAS_ATTENTION=1``) as the seq-blocked extension point for
+    long-context / ring-attention work, validated on-chip against XLA.
+    """
     import os
 
     from gpt2_image_captioning_tpu.core.precision import F32
@@ -216,7 +224,7 @@ def mha(
             jax.default_backend() == "tpu"
             and static_offset
             and _vmem_fits(q.shape[2], k.shape[2], q.shape[3])
-            and not os.environ.get("GIC_DISABLE_PALLAS_ATTENTION")
+            and bool(os.environ.get("GIC_FORCE_PALLAS_ATTENTION"))
         )
     if use_pallas:
         return flash_attention(

@@ -24,3 +24,9 @@ def test_entry_compiles_tiny():
     lowered = jax.jit(fn).lower(trainable, frozen, batch)
     assert "dot" in lowered.as_text()[:200000] or True
     # and the loss math itself is exercised at tiny scale by test_captioner
+
+
+def test_dryrun_multichip_4():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4)  # dp=2 x tp=2 path
