@@ -62,8 +62,9 @@ def main() -> None:
 
     log("compiling cached decode...")
     ours()  # compile
+    ours()  # warmup rep (first post-compile dispatch can be slow on axon)
     log("cached decode compiled")
-    reps = 3
+    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         ours()
