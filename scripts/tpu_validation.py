@@ -104,7 +104,9 @@ def main():
         "attention_mask": np.ones((8, 12), np.int32),
         "image_embedding": rng.normal(size=(8, 16)).astype(np.float32),
     }
-    tr_d = jax.device_put(tr, tr_sh)
+    # deep-copy: device_put of an on-device tree can alias, and the step
+    # donates its first two args — `tr` is reused by the beam check below
+    tr_d = jax.device_put(jax.tree.map(jnp.copy, tr), tr_sh)
     fz_d = jax.device_put(fz, fr_sh)
     opt_d = jax.device_put(optim.init(tr), opt_sh)
     new_tr, _, loss, gnorm = step_fn(tr_d, opt_d, fz_d, jax.device_put(batch, batch_sh), {})
