@@ -207,10 +207,28 @@ class Batcher:
     labels to IGNORE_INDEX, so the loss exactly equals the reference's.
     """
 
-    def __init__(self, dataset: CocoDataset, batch_size: int, seed: int = 0):
+    def __init__(
+        self,
+        dataset: CocoDataset,
+        batch_size: int,
+        seed: int = 0,
+        process_index: int | None = None,
+        process_count: int | None = None,
+    ):
+        """``batch_size`` is GLOBAL.  Under multi-process (multi-host) JAX,
+        pass ``process_index``/``process_count`` and each host yields only its
+        contiguous shard of every batch — the per-epoch permutation is a pure
+        function of (seed, epoch), so all hosts agree on the global order
+        (feed shards to ``jax.make_array_from_process_local_data``)."""
         self.ds = dataset
         self.batch_size = batch_size
         self.seed = seed
+        self.process_index = process_index or 0
+        self.process_count = process_count or 1
+        if batch_size % self.process_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by process_count {self.process_count}"
+            )
         self._fallback_epoch = 0
 
     @property
@@ -230,11 +248,12 @@ class Batcher:
             n_real = len(idx)
             if n_real < bs:
                 idx = np.concatenate([idx, np.repeat(idx[-1:], bs - n_real)])
-            batch = self.ds.gather_batch(idx)
-            if n_real < bs:
+            shard = self.batch_size // self.process_count
+            lo = self.process_index * shard
+            local_idx = idx[lo : lo + shard]
+            batch = self.ds.gather_batch(local_idx)
+            pad_start = max(0, n_real - lo)
+            if pad_start < shard:
                 batch["labels"] = batch["labels"].copy()
-                batch["labels"][n_real:] = IGNORE_INDEX
-                batch["attention_mask"] = batch["attention_mask"].copy()
-                # keep mask shape; attention over pad rows is harmless since
-                # their loss weight is zero.
+                batch["labels"][pad_start:] = IGNORE_INDEX
             yield batch

@@ -105,3 +105,21 @@ def test_split_coco_annotations(tmp_path):
     split_coco_annotations(ann_path, str(tmp_path / "splits2"), split_ratio=0.8, seed=42)
     train2 = json.load(open(tmp_path / "splits2" / "train_split.json"))
     assert {im["id"] for im in train2["images"]} == train_ids
+
+
+def test_batcher_process_sharding(coco):
+    """Two simulated hosts partition every global batch, same global order."""
+    (emb_path, ann_path, _), tok = coco
+    ds = CocoDataset(emb_path, ann_path, tokenizer=tok, max_length=12)
+    full = Batcher(ds, batch_size=8, seed=3)
+    p0 = Batcher(ds, batch_size=8, seed=3, process_index=0, process_count=2)
+    p1 = Batcher(ds, batch_size=8, seed=3, process_index=1, process_count=2)
+    for bf, b0, b1 in zip(full.epoch(0), p0.epoch(0), p1.epoch(0)):
+        np.testing.assert_array_equal(
+            np.concatenate([b0["token_ids"], b1["token_ids"]]), bf["token_ids"]
+        )
+        np.testing.assert_array_equal(
+            np.concatenate([b0["labels"], b1["labels"]]), bf["labels"]
+        )
+    with pytest.raises(ValueError):
+        Batcher(ds, batch_size=9, process_index=0, process_count=2)
