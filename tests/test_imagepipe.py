@@ -75,3 +75,17 @@ def test_batch_matches_single(jpeg_dir):
 def test_missing_file_errors(jpeg_dir):
     with pytest.raises(RuntimeError, match="failed"):
         native_pipe.process_one("/nonexistent/x.jpg", CLIP_SPEC)
+
+
+def test_batch_loader_mixed_formats(tmp_path):
+    """PNG files fall back to the PIL path inside the native loader."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    for i, ext in enumerate(["jpg", "png", "jpg"]):
+        arr = rng.integers(0, 255, size=(100, 120, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i:03d}.{ext}")
+    loader = native_pipe.NativeImageBatchLoader(str(tmp_path), CLIP_SPEC, batch_size=3)
+    [(names, batch, valid)] = list(loader)
+    assert len(names) == 3 and batch.shape == (3, 224, 224, 3) and valid.all()
+    assert {n.split(".")[-1] for n in names} == {"jpg", "png"}
