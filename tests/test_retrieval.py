@@ -209,3 +209,37 @@ def test_rat_training_host_store_path(tmp_path):
         log_dir=str(tmp_path / "hl"),
     )
     assert hist["epoch_losses"][1] < hist["epoch_losses"][0]
+
+
+def test_rat_pipeline_build_store_from_files(tmp_path):
+    """rat_pipeline.build_store reads the config-convention artifact paths."""
+    import torch
+    import yaml
+
+    from gpt2_image_captioning_tpu.core.config import Config
+    from gpt2_image_captioning_tpu.data.embeddings_io import save_embeddings
+    from gpt2_image_captioning_tpu.retrieval.rat_pipeline import build_store
+
+    emb_dir = tmp_path / "embeddings"
+    emb_dir.mkdir()
+    rng = np.random.default_rng(7)
+    filenames = [f"COCO_train2017_{i:012d}.jpg" for i in range(6)]
+    img = rng.normal(size=(6, 8)).astype(np.float32)
+    save_embeddings(str(emb_dir / "train_clip_embeddings.pt"), filenames, img)
+    torch.save(
+        [{"filenames": f, "embeddings": [
+            {"caption_id": i, "embedding": torch.from_numpy(rng.normal(size=(8,)).astype(np.float32))}]}
+         for i, f in enumerate(filenames)],
+        str(emb_dir / "train_clip_caption_embeddings.pt"),
+    )
+    cfg = Config({
+        "vision_encoder": "clip",
+        "paths": {"embeddings_path": str(emb_dir) + "/", "vector_db_path": str(tmp_path / "db") + "/"},
+        "retrieval": {"top_k": 3, "top_i": 2, "embed_dim": 8},
+    })
+    # device backend (default)
+    store = build_store(cfg)
+    assert store.caption_table.shape[0] == 6
+    # persistent backend
+    store2 = build_store(cfg, backend="persistent")
+    assert store2.retrieve_for_single_embedding(img[0], 2, 3).shape == (3, 8)
