@@ -92,11 +92,14 @@ def main() -> None:
     per_len_s = {}
     for t_len in lengths:
         seq = jnp.zeros((batch, t_len, 768), policy.compute_dtype)
-        np.asarray(fwd_last(frozen["gpt"], seq))  # compile + sync
-        t0 = time.perf_counter()
-        for _ in range(5):
+        for _ in range(3):  # compile + warm the dispatch path
+            np.asarray(fwd_last(frozen["gpt"], seq))
+        samples = []
+        for _ in range(7):
+            t0 = time.perf_counter()
             np.asarray(fwd_last(frozen["gpt"], seq))  # D2H sync per call
-        per_len_s[t_len] = (time.perf_counter() - t0) / 5
+            samples.append(time.perf_counter() - t0)
+        per_len_s[t_len] = float(np.median(samples))
     log(f"uncached per-forward seconds: {per_len_s}")
     # linear model: cost(t) = a + b * t  (attention quadratic term negligible
     # at these lengths; fit through the endpoints)
