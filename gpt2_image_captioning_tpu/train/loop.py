@@ -283,11 +283,26 @@ def train(
             losses.append(loss)
             return trainable, opt_state
 
-        for step_i, batch in enumerate(batcher.epoch(epoch)):
-            if profile_dir and epoch == start_epoch and step_i == 1:
+        # profile exactly one post-warmup optimizer step of the first epoch
+        profiling = [False]
+
+        def maybe_start_profile(group_idx: int) -> None:
+            if profile_dir and epoch == start_epoch and group_idx == 1:
                 import jax.profiler as _prof
 
                 _prof.start_trace(profile_dir)
+                profiling[0] = True
+
+        def maybe_stop_profile() -> None:
+            if profiling[0]:
+                import jax.profiler as _prof
+
+                jax.tree.map(lambda x: x, trainable)
+                _prof.stop_trace()
+                profiling[0] = False
+
+        group_idx = 0
+        for batch in batcher.epoch(epoch):
             if rat_cfg is not None and not fused_retrieval:
                 batch = host_retrieve(batch)
             if grad_accum_steps == 1:
@@ -298,13 +313,11 @@ def train(
                     continue
                 group = _group_microbatches(pending, grad_accum_steps)
                 pending = []
+            maybe_start_profile(group_idx)
             trainable, opt_state = run_group(group, trainable, opt_state)
+            maybe_stop_profile()
+            group_idx += 1
             global_step += 1
-            if profile_dir and epoch == start_epoch and step_i == 1:
-                import jax.profiler as _prof
-
-                jax.tree.map(lambda x: x, trainable)
-                _prof.stop_trace()
         if pending:  # trailing partial accumulation group
             trainable, opt_state = run_group(
                 _group_microbatches(pending, grad_accum_steps), trainable, opt_state
