@@ -78,6 +78,8 @@ class GPT2BPETokenizer:
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self.pat = re.compile(_GPT2_SPLIT_PATTERN)
         self._bpe_cache: dict[str, str] = {}
+        self._native = None  # lazily-created native merge engine (see encode)
+        self._native_checked = False
 
         self.eos_token = eos_token
         if eos_token not in self.encoder:
@@ -160,14 +162,30 @@ class GPT2BPETokenizer:
         """Text → token ids.  Special tokens present verbatim in the text
         (the reference appends ``tokenizer.eos_token`` as a string,
         ``src/dataset.py:182-183``) are emitted as their single id."""
+        if not self._native_checked:
+            self._native_checked = True
+            if not os.environ.get("GIC_DISABLE_NATIVE_BPE"):
+                try:
+                    from gpt2_image_captioning_tpu.data.native_bpe import NativeBPE, available
+
+                    if available():
+                        self._native = NativeBPE(self.encoder, self.bpe_ranks)
+                except Exception:
+                    self._native = None  # pure-Python fallback
         ids: list[int] = []
         for chunk in self._split_on_specials(text):
             if chunk in (self.eos_token,):
                 ids.append(self.encoder[chunk])
                 continue
-            for tok in self.pat.findall(chunk):
-                mapped = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-                ids.extend(self.encoder[t] for t in self._bpe(mapped).split(" "))
+            words = [
+                "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+                for tok in self.pat.findall(chunk)
+            ]
+            if self._native is not None:
+                ids.extend(self._native.encode_words(words))
+            else:
+                for mapped in words:
+                    ids.extend(self.encoder[t] for t in self._bpe(mapped).split(" "))
         return ids
 
     def _split_on_specials(self, text: str) -> Iterable[str]:

@@ -128,3 +128,24 @@ def test_batch_decode_skip_special(ours):
     padded = ids + [ours.eos_token_id] * 3
     out = ours.batch_decode(np.asarray([padded]), skip_special_tokens=True)
     assert out == ["the cat"]
+
+
+def test_native_bpe_matches_python(assets):
+    """The C++ merge engine and the pure-Python loop agree exactly."""
+    from gpt2_image_captioning_tpu.data import native_bpe
+
+    if not native_bpe.available():
+        pytest.skip("libbpe.so not built")
+    import os
+
+    native = GPT2BPETokenizer.from_files(*assets)
+    native.encode("warm")  # engage the native engine before disabling it
+    assert native._native is not None, "native path was not engaged"
+    os.environ["GIC_DISABLE_NATIVE_BPE"] = "1"
+    try:
+        pure = GPT2BPETokenizer.from_files(*assets)
+        for s in SAMPLES + ["repeated repeated repeated words words"]:
+            assert native.encode(s) == pure.encode(s), s
+    finally:
+        os.environ.pop("GIC_DISABLE_NATIVE_BPE", None)
+    assert pure._native is None
