@@ -31,6 +31,9 @@ def lib() -> ctypes.CDLL:
                 l.bpe_add_token.argtypes = [
                     ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                 ]
+                l.bpe_set_end_suffix.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ]
                 l.bpe_add_merge.argtypes = [
                     ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
                     ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
@@ -66,8 +69,16 @@ def available() -> bool:
 class NativeBPE:
     """Holds a loaded vocab+merges table and encodes pre-tokenized words."""
 
-    def __init__(self, encoder: dict[str, int], bpe_ranks: dict[tuple[str, str], int]):
+    def __init__(
+        self,
+        encoder: dict[str, int],
+        bpe_ranks: dict[tuple[str, str], int],
+        end_suffix: str = "",
+    ):
         self._h = lib().bpe_create()
+        if end_suffix:
+            b = end_suffix.encode("utf-8")
+            lib().bpe_set_end_suffix(self._h, b, len(b))
         for tok, idx in encoder.items():
             b = tok.encode("utf-8")
             lib().bpe_add_token(self._h, b, len(b), idx)

@@ -292,6 +292,8 @@ class CLIPBPETokenizer:
         self.pat = re.compile(_CLIP_SPLIT_PATTERN, re.IGNORECASE)
         self.context_length = context_length
         self._cache: dict[str, str] = {}
+        self._native = None
+        self._native_checked = False
         self.bos_token = "<|startoftext|>"
         self.eos_token = "<|endoftext|>"
         for tok in (self.bos_token, self.eos_token):
@@ -361,11 +363,29 @@ class CLIPBPETokenizer:
         return out
 
     def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
+        if not self._native_checked:
+            self._native_checked = True
+            if not os.environ.get("GIC_DISABLE_NATIVE_BPE"):
+                try:
+                    from gpt2_image_captioning_tpu.data.native_bpe import NativeBPE, available
+
+                    if available():
+                        self._native = NativeBPE(
+                            self.encoder, self.bpe_ranks, end_suffix="</w>"
+                        )
+                except Exception:
+                    self._native = None
         text = _clip_whitespace_clean(text).lower()
-        ids: list[int] = []
-        for tok in self.pat.findall(text):
-            mapped = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            ids.extend(self.encoder[t] for t in self._bpe(mapped).split(" "))
+        words = [
+            "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            for tok in self.pat.findall(text)
+        ]
+        if self._native is not None:
+            ids = self._native.encode_words(words)
+        else:
+            ids = []
+            for mapped in words:
+                ids.extend(self.encoder[t] for t in self._bpe(mapped).split(" "))
         if add_special_tokens:
             ids = [self.bos_token_id] + ids + [self.eos_token_id]
         return ids

@@ -28,6 +28,8 @@ struct BPE {
     std::unordered_map<std::string, int64_t> vocab;
     std::unordered_map<std::string, int64_t> ranks;  // "left\x01right" -> rank
     std::unordered_map<std::string, std::vector<int64_t>> cache;
+    std::string end_suffix;  // CLIP-style word-end marker appended to the
+                             // last symbol before merging (e.g. "</w>")
 
     static std::string pair_key(const std::string& a, const std::string& b) {
         std::string k;
@@ -65,6 +67,7 @@ struct BPE {
             out.clear();
             return true;
         }
+        if (!end_suffix.empty()) sym.back() += end_suffix;
         while (sym.size() > 1) {
             // find the lowest-rank adjacent pair (ties: first occurrence —
             // matches Python's min() over a set ordered by rank only, since
@@ -113,6 +116,10 @@ extern "C" {
 
 void* bpe_create() { return new BPE(); }
 void bpe_free(void* p) { delete (BPE*)p; }
+
+void bpe_set_end_suffix(void* p, const char* s, int64_t n) {
+    ((BPE*)p)->end_suffix.assign(s, (size_t)n);
+}
 
 void bpe_add_token(void* p, const char* s, int64_t n, int64_t id) {
     ((BPE*)p)->vocab.emplace(std::string(s, (size_t)n), id);

@@ -68,3 +68,22 @@ def test_call_contract(assets):
     n_real = int(enc["attention_mask"][0].sum())
     assert ids[0, n_real - 1] == tok.eos_token_id
     assert (ids[0, n_real:] == tok.pad_token_id).all()
+
+
+def test_clip_native_matches_python(assets):
+    import os
+
+    from gpt2_image_captioning_tpu.data import native_bpe
+
+    if not native_bpe.available():
+        pytest.skip("libbpe.so not built")
+    native = CLIPBPETokenizer.from_files(*assets)
+    native.encode("warm up")
+    assert native._native is not None
+    os.environ["GIC_DISABLE_NATIVE_BPE"] = "1"
+    try:
+        pure = CLIPBPETokenizer.from_files(*assets)
+        for s in SAMPLES + ["the the cat cat dog"]:
+            assert native.encode(s) == pure.encode(s), s
+    finally:
+        os.environ.pop("GIC_DISABLE_NATIVE_BPE", None)
