@@ -1,0 +1,92 @@
+"""Unit tests for the functional NN primitives against torch references."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpt2_image_captioning_tpu.ops import nn
+from gpt2_image_captioning_tpu.ops.sampling import top_p_filter
+
+
+def test_layer_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 7, 16)).astype(np.float32) * 3 + 1
+    w = rng.normal(size=(16,)).astype(np.float32)
+    b = rng.normal(size=(16,)).astype(np.float32)
+    want = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (16,), torch.from_numpy(w), torch.from_numpy(b), eps=1e-5
+    ).numpy()
+    got = np.asarray(nn.layer_norm({"scale": jnp.asarray(w), "bias": jnp.asarray(b)},
+                                   jnp.asarray(x), eps=1e-5))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("name,torch_fn", [
+    ("gelu_new", lambda t, x: t.nn.functional.gelu(x, approximate="tanh")),
+    ("gelu", lambda t, x: t.nn.functional.gelu(x)),
+])
+def test_gelu_variants_match_torch(name, torch_fn):
+    torch = pytest.importorskip("torch")
+
+    x = np.linspace(-4, 4, 101, dtype=np.float32)
+    want = torch_fn(torch, torch.from_numpy(x)).numpy()
+    got = np.asarray(nn.ACTIVATIONS[name](jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-5)
+
+
+def test_quick_gelu():
+    x = np.linspace(-4, 4, 21, dtype=np.float32)
+    want = x * (1 / (1 + np.exp(-1.702 * x)))
+    np.testing.assert_allclose(np.asarray(nn.quick_gelu(jnp.asarray(x))), want, atol=1e-6)
+
+
+def test_dense_layouts():
+    p = {"w": jnp.asarray(np.arange(6, dtype=np.float32).reshape(2, 3)),
+         "b": jnp.asarray(np.ones(3, np.float32))}
+    x = jnp.asarray(np.array([[1.0, 2.0]], np.float32))
+    got = np.asarray(nn.dense(p, x))
+    np.testing.assert_allclose(got, x @ np.arange(6, dtype=np.float32).reshape(2, 3) + 1)
+
+
+def test_split_merge_heads_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 5, 12)).astype(np.float32))
+    h = nn.split_heads(x, 3)
+    assert h.shape == (2, 3, 5, 4)
+    np.testing.assert_allclose(np.asarray(nn.merge_heads(h)), np.asarray(x))
+
+
+def test_top_p_properties():
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.normal(size=(8, 200)).astype(np.float32) * 3)
+    for p in (0.1, 0.5, 0.9, 0.99):
+        kept = np.asarray(top_p_filter(logits, p))
+        probs = np.exp(logits - np.max(np.asarray(logits), axis=-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        for row_kept, row_p, row_logits in zip(kept, probs, np.asarray(logits)):
+            mask = np.isfinite(row_kept) & (row_kept > -1e30)
+            # top-1 always kept
+            assert mask[np.argmax(row_logits)]
+            # kept mass reaches the threshold
+            assert row_p[mask].sum() >= p - 1e-6
+            # minimality: dropping the weakest kept token goes below p
+            if mask.sum() > 1:
+                weakest = np.where(mask)[0][np.argmin(row_logits[mask])]
+                assert row_p[mask].sum() - row_p[weakest] < p
+
+
+def test_attention_xla_vs_manual():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 2, 4, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 6, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, 6, 8)).astype(np.float32))
+    got = np.asarray(nn.attention_xla(q, k, v))
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) / np.sqrt(8)
+    w = np.exp(s - s.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", w, np.asarray(v))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
