@@ -123,3 +123,32 @@ def load_captioner(path: str, trainable: dict, cfg) -> dict:
     if missing:
         raise ValueError(f"Missing keys found in the checkpoint: {missing}")
     return loaded
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): sharded/async-capable checkpoints for multihost
+# ---------------------------------------------------------------------------
+
+def save_pytree_orbax(directory: str, tree: Any) -> None:
+    """Save a pytree with orbax (the backend for sharded multihost arrays —
+    each host writes its shards; .npz requires fully-addressable arrays)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(directory), tree, force=True)
+
+
+def load_pytree_orbax(directory: str, like: Any) -> Any:
+    """Restore a pytree saved by :func:`save_pytree_orbax`; ``like`` provides
+    the structure/shardings to restore into."""
+    import os
+
+    import jax
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
+        return ckptr.restore(os.path.abspath(directory), abstract)

@@ -107,3 +107,13 @@ def test_generic_pytree_roundtrip(tmp_path):
     loaded = checkpoint.load_pytree(p)
     _tree_equal(tree, loaded)
     assert isinstance(loaded["b"], list)
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    t, _ = _params()
+    d = str(tmp_path / "orbax_ck")
+    checkpoint.save_pytree_orbax(d, t)
+    t2, _ = _params(seed=9)
+    loaded = checkpoint.load_pytree_orbax(d, t2)
+    _tree_equal(t, loaded)
