@@ -101,3 +101,51 @@ def test_top_p_filter_matches_torch_reference_masking():
     got = np.asarray(top_p_filter(jnp.asarray(logits), top_p))
     got_removed = got < -1e30
     np.testing.assert_array_equal(got_removed, want_removed)
+
+
+def test_fused_patch_embed_matches_xla():
+    """Pallas fused dequant-normalize-patch-embed == the XLA composition."""
+    import dataclasses
+
+    from gpt2_image_captioning_tpu.embeddings.preprocess import CLIP_SPEC
+    from gpt2_image_captioning_tpu.ops.patch_embed import patch_embed
+
+    spec = dataclasses.replace(CLIP_SPEC, resize=32, crop=32)
+    rng = np.random.default_rng(4)
+    batch = rng.integers(0, 255, size=(2, 32, 32, 3), dtype=np.uint8)
+    patch = 8
+    k, d = 3 * patch * patch, 48
+    w = rng.normal(size=(k, d)).astype(np.float32) * 0.02
+    bias = rng.normal(size=(d,)).astype(np.float32)
+
+    want = patch_embed(jnp.asarray(batch), jnp.asarray(w), spec, patch,
+                       bias=jnp.asarray(bias), use_pallas=False)
+    got = patch_embed(jnp.asarray(batch), jnp.asarray(w), spec, patch,
+                      bias=jnp.asarray(bias), use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+    assert got.shape == (2, 16, 48)
+
+
+def test_fused_patch_embed_equals_model_pipeline():
+    """The fused op reproduces normalize_on_device + extract_patches + matmul
+    exactly as used by the CLIP tower."""
+    import dataclasses
+
+    from gpt2_image_captioning_tpu.embeddings.preprocess import (
+        VIT_SPEC,
+        normalize_on_device,
+    )
+    from gpt2_image_captioning_tpu.models.clip import extract_patches
+    from gpt2_image_captioning_tpu.ops.patch_embed import patch_embed
+
+    spec = dataclasses.replace(VIT_SPEC, resize=16)
+    rng = np.random.default_rng(5)
+    batch = rng.integers(0, 255, size=(3, 16, 16, 3), dtype=np.uint8)
+    patch = 8
+    w = rng.normal(size=(3 * 64, 32)).astype(np.float32)
+
+    px = normalize_on_device(jnp.asarray(batch), spec)  # (B, 3, S, S)
+    ref = jnp.dot(extract_patches(px, patch), jnp.asarray(w),
+                  preferred_element_type=jnp.float32)
+    got = patch_embed(jnp.asarray(batch), jnp.asarray(w), spec, patch, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
