@@ -38,3 +38,21 @@ class Policy:
 # Convenience singletons
 F32 = Policy.f32()
 BF16 = Policy.bf16()
+
+
+def cast_floating(tree, dtype=jnp.bfloat16):
+    """Cast every floating-point leaf of a param pytree to ``dtype``.
+
+    Decode on TPU is weight-HBM-bandwidth-bound (GPT-2 124M reads ~500 MB/step
+    in f32); casting the *stored* params to bfloat16 halves the bytes read —
+    ``Policy.cast``-at-use cannot, since the f32 bytes are already fetched.
+    Use for inference only; keep f32 masters for training.
+    """
+    import jax
+
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )

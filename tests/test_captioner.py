@@ -215,3 +215,30 @@ def test_unfrozen_gpt_param_split(jax_side):
     g = jax.grad(lambda tr: C.mean_loss(tr, f, cfg, batch))(t)
     # gradient flows into gpt weights when unfrozen
     assert float(jnp.abs(g["gpt"]["wte"]).sum()) > 0
+
+
+def test_bf16_decode_precision(jax_side):
+    """bf16 stored-weight decode: valid output, cached cast, arg validation."""
+    trainable, frozen = jax_side
+    model = C.ImageCaptioningModel(CCFG, rng=jax.random.PRNGKey(0))
+    model.trainable, model.frozen = trainable, frozen
+    emb = jnp.asarray(np.random.default_rng(7).normal(size=(2, 12)).astype(np.float32))
+
+    ids32 = np.asarray(model.generate(emb, max_length=8, temperature=0.0, top_p=1.0))
+    ids16 = np.asarray(
+        model.generate(emb, max_length=8, temperature=0.0, top_p=1.0, decode_precision="bf16")
+    )
+    assert ids16.shape == ids32.shape and ids16.dtype == ids32.dtype
+    assert ((0 <= ids16) & (ids16 < VOCAB)).all()
+    # the cast pytree is cached on the model, stored in bfloat16
+    cached_tr, _ = model._bf16_cache
+    assert all(
+        x.dtype == jnp.bfloat16
+        for x in jax.tree.leaves(cached_tr)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+    )
+    # mostly agrees with f32 greedy even at random init
+    assert (ids16 == ids32).mean() > 0.5
+
+    with pytest.raises(ValueError, match="decode_precision"):
+        model.generate(emb, max_length=4, decode_precision="fp8")
