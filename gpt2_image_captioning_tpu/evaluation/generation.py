@@ -49,6 +49,7 @@ def generate_predictions(
     top_k: int | None = None,
     top_i: int | None = None,
     mesh=None,
+    decode_precision: str | None = None,
 ) -> list[dict[str, Any]]:
     """Generate one caption per unique image → ``[{"image_id", "caption"}]``.
 
@@ -56,9 +57,12 @@ def generate_predictions(
     (greedy when temperature == 0); ``decode="beam"`` uses beam search.
     With ``db_store`` set (RAT models) image embeddings are retrieval-
     augmented before decoding (reference ``src/eval.py:232-308``).
+    ``decode_precision="bf16"`` decodes with bfloat16-stored weights
+    (+25-32% throughput; retrieval augmentation stays at model precision).
     """
     tokenizer = dataset.tokenizer
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    dec_tr, dec_fz, dec_pol = model.decode_params(decode_precision)
     predictions: list[dict[str, Any]] = []
     n_batches = 0
     t0 = time.perf_counter()
@@ -89,25 +93,25 @@ def generate_predictions(
             batch = dict(batch, image_embedding=shard(batch["image_embedding"]))
         if decode == "beam":
             ids = C.beam_generate(
-                model.trainable,
-                model.frozen,
+                dec_tr,
+                dec_fz,
                 model.cfg,
                 batch["image_embedding"],
                 max_length=max_length,
                 beam_size=beam_size,
-                policy=model.policy,
+                policy=dec_pol,
             )
         else:
             ids = C.generate(
-                model.trainable,
-                model.frozen,
+                dec_tr,
+                dec_fz,
                 model.cfg,
                 batch["image_embedding"],
                 max_length=max_length,
                 temperature=temperature,
                 top_p=top_p,
                 rng=jax.random.fold_in(rng, i),
-                policy=model.policy,
+                policy=dec_pol,
             )
         captions = tokenizer.batch_decode(np.asarray(ids), skip_special_tokens=True)
         for img_id, caption, valid in zip(batch["image_id"], captions, batch["valid"]):
@@ -138,6 +142,7 @@ def generate_and_evaluate(
     top_k: int | None = None,
     top_i: int | None = None,
     mesh=None,
+    decode_precision: str | None = None,
     **_ignored,
 ) -> tuple[list[dict[str, Any]], EvalMetrics]:
     """Generate for the whole dataset, then score (reference
@@ -156,6 +161,7 @@ def generate_and_evaluate(
         top_k=top_k,
         top_i=top_i,
         mesh=mesh,
+        decode_precision=decode_precision,
     )
     metrics = evaluate_captions(predictions, annotations_path)
     return predictions, metrics
@@ -179,6 +185,7 @@ def evaluate_epoch(
     top_k: int | None = None,
     top_i: int | None = None,
     mesh=None,
+    decode_precision: str | None = None,
     **_ignored,
 ) -> EvalMetrics:
     """Per-epoch eval with the reference's artifact naming
@@ -198,6 +205,7 @@ def evaluate_epoch(
         top_k=top_k,
         top_i=top_i,
         mesh=mesh,
+        decode_precision=decode_precision,
     )
     print(f"\nResults: {metrics}")
     save_epoch_artifacts(predictions, metrics, output_dir, epoch, split_name, rat=rat)
@@ -217,6 +225,7 @@ def generate_test_caption_predictions(
     db_store=None,
     top_k: int | None = None,
     top_i: int | None = None,
+    decode_precision: str | None = None,
 ) -> list[dict[str, Any]]:
     """Dump COCO-schema predictions ``[{"image_id": int, "caption": str}]``
     (reference ``src/test.py:11-82``; RAT variant :85-165 via ``db_store``;
@@ -233,6 +242,7 @@ def generate_test_caption_predictions(
         db_store=db_store,
         top_k=top_k,
         top_i=top_i,
+        decode_precision=decode_precision,
     )
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     with open(output_path, "w") as f:

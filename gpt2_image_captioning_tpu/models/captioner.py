@@ -389,16 +389,7 @@ class ImageCaptioningModel:
         """``decode_precision="bf16"`` stores the weights in bfloat16 for the
         decode (half the HBM bytes/step → +25% throughput measured at b=128;
         see docs/PERF_NOTES.md).  Default keeps full f32 reference parity."""
-        tr, fz, pol = self.trainable, self.frozen, self.policy
-        if decode_precision == "bf16":
-            from gpt2_image_captioning_tpu.core.precision import BF16, cast_floating
-
-            if getattr(self, "_bf16_cache", None) is None:
-                self._bf16_cache = (cast_floating(tr), cast_floating(fz))
-            tr, fz = self._bf16_cache
-            pol = BF16
-        elif decode_precision not in (None, "f32"):
-            raise ValueError(f"decode_precision must be 'f32' or 'bf16', got {decode_precision!r}")
+        tr, fz, pol = self.decode_params(decode_precision)
         return generate(
             tr,
             fz,
@@ -410,6 +401,24 @@ class ImageCaptioningModel:
             rng=rng,
             policy=pol,
         )
+
+    def decode_params(self, decode_precision: str | None = None):
+        """(trainable, frozen, policy) for inference at the given precision.
+
+        ``"bf16"`` returns a cached bfloat16 copy of the weights (half the
+        HBM bytes/decode-step); ``None``/``"f32"`` returns the live params."""
+        if decode_precision in (None, "f32"):
+            return self.trainable, self.frozen, self.policy
+        if decode_precision != "bf16":
+            raise ValueError(
+                f"decode_precision must be 'f32' or 'bf16', got {decode_precision!r}"
+            )
+        from gpt2_image_captioning_tpu.core.precision import BF16, cast_floating
+
+        if getattr(self, "_bf16_cache", None) is None:
+            self._bf16_cache = (cast_floating(self.trainable), cast_floating(self.frozen))
+        tr, fz = self._bf16_cache
+        return tr, fz, BF16
 
     def generate_captions(self, image_embeddings, **kw) -> list[str]:
         ids = self.generate(image_embeddings, **kw)

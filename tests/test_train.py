@@ -128,3 +128,23 @@ def test_pt_checkpoint_format_option(tmp_path, model, data):
 
     sd = torch.load(os.path.join(out, "model_epoch_1.pt"), weights_only=False)
     assert "mapping_network.model.0.weight" in sd
+
+
+def test_generate_predictions_bf16_precision(model, data):
+    """The eval generation pipeline accepts decode_precision='bf16' and
+    produces valid COCO-schema predictions for every unique image."""
+    from gpt2_image_captioning_tpu.evaluation.generation import generate_predictions
+
+    ds, _ = data
+    preds32 = generate_predictions(
+        model, ds, batch_size=8, max_length=6, temperature=0.0, verbose=False
+    )
+    preds16 = generate_predictions(
+        model, ds, batch_size=8, max_length=6, temperature=0.0, verbose=False,
+        decode_precision="bf16",
+    )
+    assert len(preds16) == len(preds32) == 12
+    assert {p["image_id"] for p in preds16} == {p["image_id"] for p in preds32}
+    assert all(isinstance(p["caption"], str) for p in preds16)
+    with pytest.raises(ValueError, match="decode_precision"):
+        generate_predictions(model, ds, batch_size=8, decode_precision="int8", verbose=False)
