@@ -415,10 +415,21 @@ class ImageCaptioningModel:
             )
         from gpt2_image_captioning_tpu.core.precision import BF16, cast_floating
 
-        if getattr(self, "_bf16_cache", None) is None:
-            self._bf16_cache = (cast_floating(self.trainable), cast_floating(self.frozen))
-        tr, fz = self._bf16_cache
-        return tr, fz, BF16
+        # keyed on the live pytrees' identity: a weight swap (checkpoint load,
+        # train loop publishing updated params) invalidates the cast copy
+        cache = getattr(self, "_bf16_cache", None)
+        if (
+            cache is None
+            or cache[0] is not self.trainable
+            or cache[1] is not self.frozen
+        ):
+            self._bf16_cache = (
+                self.trainable,
+                self.frozen,
+                cast_floating(self.trainable),
+                cast_floating(self.frozen),
+            )
+        return self._bf16_cache[2], self._bf16_cache[3], BF16
 
     def generate_captions(self, image_embeddings, **kw) -> list[str]:
         ids = self.generate(image_embeddings, **kw)

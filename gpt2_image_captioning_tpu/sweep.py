@@ -109,6 +109,7 @@ def run_one(cfg: Config, run_id: str, base_dir: str, description: str = "") -> d
             top_p=cfg.validation.top_p,
             decode="beam" if tpu_block.get("decode") == "beam" else "sample",
             beam_size=tpu_block.get("beam_size", 4),
+            decode_precision=cfg.validation.get("decode_precision", None),
             db_store=db_store,
             top_k=cfg.retrieval.top_k if db_store is not None else None,
             top_i=cfg.retrieval.top_i if db_store is not None else None,

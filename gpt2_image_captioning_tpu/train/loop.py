@@ -155,6 +155,7 @@ def train(
     eval_max_length: int = 50,
     eval_temperature: float = 0.0,
     eval_top_p: float = 0.9,
+    eval_decode_precision: str | None = None,
     # TPU-specific
     mesh=None,
     seed: int = 0,
@@ -367,6 +368,7 @@ def train(
                 top_k=getattr(rat_cfg, "top_k", None),
                 top_i=getattr(rat_cfg, "top_i", None),
                 mesh=mesh,
+                decode_precision=eval_decode_precision,
             )
             val_metrics_history.append({"epoch": epoch + 1, "loss": avg_loss, **metrics.to_dict()})
             logger.add_scalars(

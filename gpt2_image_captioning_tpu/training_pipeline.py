@@ -110,6 +110,7 @@ def run(cfg: Config, save_dir: str | None = None, gpt_params=None) -> dict:
         eval_max_length=cfg.max_caption_length,
         eval_temperature=cfg.validation.temperature,
         eval_top_p=cfg.validation.top_p,
+        eval_decode_precision=cfg.validation.get("decode_precision", None),
         mesh=mesh,
         seed=cfg.get("seed", 42),
     )

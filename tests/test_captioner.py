@@ -231,7 +231,7 @@ def test_bf16_decode_precision(jax_side):
     assert ids16.shape == ids32.shape and ids16.dtype == ids32.dtype
     assert ((0 <= ids16) & (ids16 < VOCAB)).all()
     # the cast pytree is cached on the model, stored in bfloat16
-    cached_tr, _ = model._bf16_cache
+    cached_tr = model._bf16_cache[2]
     assert all(
         x.dtype == jnp.bfloat16
         for x in jax.tree.leaves(cached_tr)
@@ -239,6 +239,14 @@ def test_bf16_decode_precision(jax_side):
     )
     # mostly agrees with f32 greedy even at random init
     assert (ids16 == ids32).mean() > 0.5
+
+    # cache hit while weights unchanged; invalidated when trainable is swapped
+    first_cache = model._bf16_cache
+    model.generate(emb, max_length=8, temperature=0.0, top_p=1.0, decode_precision="bf16")
+    assert model._bf16_cache is first_cache
+    model.trainable = jax.tree.map(lambda x: x, model.trainable)  # new pytree identity
+    model.generate(emb, max_length=8, temperature=0.0, top_p=1.0, decode_precision="bf16")
+    assert model._bf16_cache is not first_cache
 
     with pytest.raises(ValueError, match="decode_precision"):
         model.generate(emb, max_length=4, decode_precision="fp8")
