@@ -1,10 +1,17 @@
 """``python -m gpt2_image_captioning_tpu`` — environment smoke check
 (devices, native components, tokenizer assets)."""
 
+import argparse
 import os
 
 
 def main() -> None:
+    parser = argparse.ArgumentParser(
+        prog="python -m gpt2_image_captioning_tpu",
+        description="Environment smoke check: JAX devices, native C++ "
+        "components, tokenizer assets. Takes no arguments.",
+    )
+    parser.parse_args()
     import jax
 
     print(f"jax {jax.__version__}")
