@@ -132,11 +132,11 @@ class NativeImageBatchLoader:
                 batch = process_batch(paths, self.spec, threads=self.num_workers)
             else:
                 rows = []
-                for p, is_jpeg in zip(paths, jpegs):
+                for i, (p, is_jpeg) in enumerate(zip(paths, jpegs)):
                     if is_jpeg:
                         rows.append(process_one(p, self.spec))
                     else:
-                        rows.append(resize_and_crop(self.dir.load_rgb(names.index(os.path.basename(p))), self.spec))
+                        rows.append(resize_and_crop(self.dir.load_rgb(start + i), self.spec))
                 batch = np.stack(rows)
             valid = np.ones(self.batch_size, dtype=bool)
             if len(chunk) < self.batch_size:

@@ -287,7 +287,6 @@ def beam_generate(
         v = logp.shape[-1]
 
         # finished beams may only "continue" with EOS at no score change
-        eos_onehot = jnp.zeros((v,), jnp.float32).at[eos].set(0.0)
         frozen_logp = jnp.full((v,), neg_inf, jnp.float32).at[eos].set(0.0)
         logp = jnp.where(finished[..., None], frozen_logp[None, None, :], logp)
 

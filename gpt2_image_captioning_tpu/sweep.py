@@ -32,6 +32,29 @@ logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(mess
 log = logging.getLogger("sweep")
 
 
+def select_test_checkpoint(filenames) -> str | None:
+    """Pick the checkpoint the final test pass should load.
+
+    Matches the reference's intent (``sweep.py:219-259``: evaluate the model
+    that training produced): the *highest-epoch* ``best_model_epoch_{n}``
+    if any best-by-CIDEr checkpoint exists, otherwise the highest-epoch
+    ``model_epoch_{n}``.  Epoch numbers are parsed numerically — plain
+    lexicographic sorting would pick epoch 1 over epoch 3 and sort 10
+    before 2.
+    """
+    import re
+
+    pat = re.compile(r"^(best_)?model_epoch_(\d+)\.(npz|pt)$")
+    candidates = []
+    for f in filenames:
+        if m := pat.match(f):
+            candidates.append((bool(m.group(1)), int(m.group(2)), f))
+    if not candidates:
+        return None
+    # best checkpoints first, then highest epoch
+    return max(candidates, key=lambda t: (t[0], t[1]))[2]
+
+
 def run_one(cfg: Config, run_id: str, base_dir: str, description: str = "") -> dict:
     save_dir = os.path.join(base_dir, f"checkpoint_{run_id}")
     os.makedirs(save_dir, exist_ok=True)
@@ -73,13 +96,10 @@ def run_one(cfg: Config, run_id: str, base_dir: str, description: str = "") -> d
         db_store = build_store(cfg)
     trainable, total = count_model_parameters(model.trainable, model.frozen)
     # reload the best/latest trained weights for the test pass
-    ckpts = sorted(
-        (f for f in os.listdir(save_dir) if f.startswith(("best_model_epoch_", "model_epoch_"))),
-        key=lambda f: (not f.startswith("best_"), f),
-    )
-    if ckpts:
-        model.load_saved_parameters(os.path.join(save_dir, ckpts[0]))
-        log.info("Loaded %s for test evaluation", ckpts[0])
+    best = select_test_checkpoint(os.listdir(save_dir))
+    if best:
+        model.load_saved_parameters(os.path.join(save_dir, best))
+        log.info("Loaded %s for test evaluation", best)
 
     with open(os.path.join(save_dir, f"training_info_{run_id}.txt"), "w") as f:
         f.write(f"run id: {run_id}\n")

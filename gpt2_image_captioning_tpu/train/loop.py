@@ -270,6 +270,7 @@ def train(
         # losses stay on device during the epoch (no per-step host sync, so
         # dispatch runs ahead of the TPU); synced once per epoch for logging.
         losses: list[jax.Array] = []
+        group_real_micro: list[int] = []  # real (non-padded) micro-batches per group
         pending: list[dict] = []
         t_epoch = time.perf_counter()
 
@@ -317,19 +318,27 @@ def train(
             maybe_start_profile(group_idx)
             trainable, opt_state = run_group(group, trainable, opt_state)
             maybe_stop_profile()
+            group_real_micro.append(grad_accum_steps)
             group_idx += 1
             global_step += 1
         if pending:  # trailing partial accumulation group
+            n_real = len(pending)
             trainable, opt_state = run_group(
                 _group_microbatches(pending, grad_accum_steps), trainable, opt_state
             )
+            group_real_micro.append(n_real)
             global_step += 1
 
         losses_np = [float(l) for l in losses]
         for i, lf in enumerate(losses_np):
             logger.add_scalar("loss/train_step", lf, global_step - len(losses_np) + i + 1)
         n_groups = len(losses_np)
-        avg_loss = sum(losses_np) / max(n_groups, 1)
+        # exact per-micro-batch epoch average: each group's loss is
+        # sum(real micro losses)/accum, and the padded tail of the final
+        # group contributes zero loss — undo the 1/accum scaling and divide
+        # by the number of REAL micro-batches so the tail doesn't deflate it.
+        total_micro = sum(group_real_micro)
+        avg_loss = sum(losses_np) * grad_accum_steps / max(total_micro, 1)
         epoch_loss_values.append(avg_loss)
         dt = time.perf_counter() - t_epoch
         print(
@@ -341,7 +350,9 @@ def train(
         # expose updated params to the model façade for eval/checkpoint
         model.trainable = trainable
 
-        if (epoch + 1) % save_every_epoch == 0 or (epoch + 1) == num_epochs:
+        if (save_every_epoch > 0 and (epoch + 1) % save_every_epoch == 0) or (
+            epoch + 1
+        ) == num_epochs:
             path = os.path.join(outputs_dir, f"model_epoch_{epoch + 1}.{ckpt_ext}")
             checkpoint.save_captioner(path, trainable, model.cfg)
             print(f"Model checkpoint saved at {path}")
@@ -351,7 +362,7 @@ def train(
                     {"step": opt_state.step, "mu": opt_state.mu, "nu": opt_state.nu},
                 )
 
-        if (epoch + 1) % eval_every_epoch == 0 and val_dataset is not None:
+        if eval_every_epoch > 0 and (epoch + 1) % eval_every_epoch == 0 and val_dataset is not None:
             metrics = evaluate_epoch(
                 model,
                 val_dataset,

@@ -149,8 +149,11 @@ def launch_app(
                 if not full.startswith(images_dir + os.sep) or not os.path.exists(full):
                     self.send_error(404)
                     return
+                import mimetypes
+
+                ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
                 self.send_response(200)
-                self.send_header("Content-Type", "image/jpeg")
+                self.send_header("Content-Type", ctype)
                 self.end_headers()
                 with open(full, "rb") as f:
                     self.wfile.write(f.read())

@@ -64,6 +64,30 @@ def sweep_env(tmp_path_factory, monkeypatch_module=None):
     return tmp, str(cfg_path), str(auto_path), tok
 
 
+def test_select_test_checkpoint_prefers_latest_best():
+    """Regression: epochs 1/3/10 on disk must select best epoch 10, not the
+    lexicographically-first best (epoch 1, with 10 sorting before 2)."""
+    from gpt2_image_captioning_tpu.sweep import select_test_checkpoint
+
+    files = [
+        "best_model_epoch_1.npz",
+        "best_model_epoch_3.npz",
+        "best_model_epoch_10.npz",
+        "model_epoch_1.npz",
+        "model_epoch_10.npz",
+        "config_1.yml",
+    ]
+    assert select_test_checkpoint(files) == "best_model_epoch_10.npz"
+    # no best_* checkpoints → latest regular epoch
+    assert (
+        select_test_checkpoint(["model_epoch_2.npz", "model_epoch_10.npz"])
+        == "model_epoch_10.npz"
+    )
+    # .pt interchange checkpoints count too
+    assert select_test_checkpoint(["best_model_epoch_2.pt"]) == "best_model_epoch_2.pt"
+    assert select_test_checkpoint(["config_1.yml"]) is None
+
+
 def test_sweep_run_one(sweep_env, monkeypatch):
     tmp, cfg_path, auto_path, tok = sweep_env
     # the pipeline loads the real GPT-2 tokenizer; patch in the tiny one and a
