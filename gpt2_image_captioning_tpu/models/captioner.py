@@ -180,7 +180,10 @@ def mean_loss(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_length", "temperature", "top_p", "policy", "unroll_decode"),
+    static_argnames=(
+        "cfg", "max_length", "temperature", "top_p", "policy", "unroll_decode",
+        "use_pallas_decode",
+    ),
 )
 def generate(
     trainable: dict,
@@ -194,6 +197,7 @@ def generate(
     rng: jax.Array | None = None,
     policy: Policy = F32,
     unroll_decode: bool = True,
+    use_pallas_decode: bool | None = None,
 ) -> jnp.ndarray:
     """Autoregressive caption generation → token ids (B, max_length).
 
@@ -227,7 +231,8 @@ def generate(
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
         embed = G.embed_tokens(gpt_params, nxt[:, None]).astype(policy.compute_dtype)
         logits, cache = G.forward_cached(
-            gpt_params, cfg.gpt2, embed, cache, policy, unroll=unroll_decode
+            gpt_params, cfg.gpt2, embed, cache, policy,
+            unroll=unroll_decode, use_pallas_decode=use_pallas_decode,
         )
         return step + 1, tokens, logits, finished, cache, rng
 
@@ -242,7 +247,10 @@ def generate(
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_length", "beam_size", "length_penalty", "policy")
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_length", "beam_size", "length_penalty", "policy", "use_pallas_decode"
+    ),
 )
 def beam_generate(
     trainable: dict,
@@ -254,6 +262,7 @@ def beam_generate(
     beam_size: int = 4,
     length_penalty: float = 1.0,
     policy: Policy = F32,
+    use_pallas_decode: bool | None = None,
 ) -> jnp.ndarray:
     """Length-normalized beam search → best beam's token ids (B, max_length).
 
@@ -315,7 +324,8 @@ def beam_generate(
 
         embed = G.embed_tokens(gpt_params, tok.reshape(b * k, 1)).astype(policy.compute_dtype)
         logits, cache = G.forward_cached(
-            gpt_params, cfg.gpt2, embed, cache, policy, unroll=True
+            gpt_params, cfg.gpt2, embed, cache, policy,
+            unroll=True, use_pallas_decode=use_pallas_decode,
         )
         return (new_scores, tokens, newly_finished, lengths, logits, cache), None
 

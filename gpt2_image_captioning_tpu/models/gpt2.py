@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from gpt2_image_captioning_tpu.core.precision import F32, Policy
+from gpt2_image_captioning_tpu.ops import decode_attention as DA
 from gpt2_image_captioning_tpu.ops import nn
 from gpt2_image_captioning_tpu.ops.attention import mha
 
@@ -214,7 +215,17 @@ def cross_entropy_loss(
 # ---------------------------------------------------------------------------
 
 def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32) -> dict:
-    shape = (cfg.n_layer, batch, cfg.n_head, max_len, cfg.head_dim)
+    """Per-layer KV cache, laid out (L, B, T, D).
+
+    D = n_head·head_dim is the lane dim (768 = 6×128 lanes — no tile-padding
+    waste, unlike a trailing head_dim of 64 which tiles to half a register and
+    doubles effective cache traffic), and the c_attn projections append with
+    no head split/merge transposes.  The time dim is rounded up to the decode
+    kernel's chunk size so the chunk walk never pads per step; rows beyond
+    ``index`` are masked everywhere.
+    """
+    max_len = -(-max_len // DA.CHUNK_T) * DA.CHUNK_T
+    shape = (cfg.n_layer, batch, max_len, cfg.n_embd)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
@@ -223,7 +234,13 @@ def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32) -> 
 
 
 def cache_partition_specs(cfg: GPT2Config) -> dict:
-    return {"k": P(None, "dp", "tp"), "v": P(None, "dp", "tp"), "index": P()}
+    """(L, B, T, D): batch on dp, model width on tp (heads are contiguous
+    64-lane groups of D, so a tp shard holds whole heads)."""
+    return {
+        "k": P(None, "dp", None, "tp"),
+        "v": P(None, "dp", None, "tp"),
+        "index": P(),
+    }
 
 
 def forward_cached(
@@ -233,12 +250,16 @@ def forward_cached(
     cache: dict,
     policy: Policy = F32,
     unroll: bool = False,
+    use_pallas_decode: bool | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Forward ``inputs_embeds`` (B, T, D) starting at position
     ``cache['index']``; returns (last-position logits (B, V), updated cache).
 
-    T is the prefix length at prefill time and 1 per decode step.  Two layer
-    iteration modes with identical numerics:
+    T is the prefix length at prefill time and 1 per decode step.  The
+    single-token step routes through the fused decode-attention kernel
+    (``ops.decode_attention`` — cache append + valid-prefix attention in one
+    Pallas call on TPU; ``use_pallas_decode`` overrides the dispatch).  Two
+    layer iteration modes with identical numerics:
 
     - ``unroll=False`` (default) — ``lax.scan`` threading each layer's cache
       slice (compact graph; scan restacks the cache ys each call),
@@ -253,33 +274,48 @@ def forward_cached(
     pos = jax.lax.dynamic_slice_in_dim(params["wpe"], idx, t, axis=0).astype(jnp.float32)
     x = (inputs_embeds.astype(jnp.float32) + pos[None]).astype(policy.compute_dtype)
 
-    tk = cache["k"].shape[3]
+    tk = cache["k"].shape[2]
     key_valid = (jnp.arange(tk)[None, :] < idx + t).astype(jnp.int32)
     key_valid = jnp.broadcast_to(key_valid, (b, tk))
 
     def layer(x, bp, k_cache, v_cache):
-        """One block over (x, this layer's cache slabs) → (x, new slabs)."""
+        """One block over (x, this layer's (B, T, D) cache slabs)."""
         h = nn.layer_norm(bp["ln_1"], x, cfg.layer_norm_epsilon)
         qkv = nn.dense(bp["attn"]["c_attn"], h, policy)
-        q, k_new, v_new = (
-            nn.split_heads(p, cfg.n_head) for p in jnp.split(qkv, 3, axis=-1)
-        )
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_new.astype(k_cache.dtype), (0, 0, idx, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_new.astype(v_cache.dtype), (0, 0, idx, 0)
-        )
-        a = nn.attention_xla(
-            q,
-            k_cache.astype(policy.compute_dtype),
-            v_cache.astype(policy.compute_dtype),
-            causal=True,
-            key_mask=key_valid,
-            q_offset=idx,
-            policy=policy,
-        )
-        x = x + nn.dense(bp["attn"]["c_proj"], nn.merge_heads(a), policy)
+        q3, k3, v3 = jnp.split(qkv, 3, axis=-1)  # each (B, T, D)
+        if t == 1:
+            a_flat, k_cache, v_cache = DA.decode_attention(
+                q3[:, 0],
+                k3[:, 0],
+                v3[:, 0],
+                k_cache,
+                v_cache,
+                idx,
+                n_head=cfg.n_head,
+                use_pallas=use_pallas_decode,
+            )
+            a = a_flat[:, None, :].astype(policy.compute_dtype)
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k3.astype(k_cache.dtype), (0, idx, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v3.astype(v_cache.dtype), (0, idx, 0)
+            )
+            hd = d // cfg.n_head
+            k4 = k_cache.reshape(b, tk, cfg.n_head, hd).transpose(0, 2, 1, 3)
+            v4 = v_cache.reshape(b, tk, cfg.n_head, hd).transpose(0, 2, 1, 3)
+            a4 = nn.attention_xla(
+                nn.split_heads(q3, cfg.n_head),
+                k4.astype(policy.compute_dtype),
+                v4.astype(policy.compute_dtype),
+                causal=True,
+                key_mask=key_valid,
+                q_offset=idx,
+                policy=policy,
+            )
+            a = nn.merge_heads(a4)
+        x = x + nn.dense(bp["attn"]["c_proj"], a, policy)
         h = nn.layer_norm(bp["ln_2"], x, cfg.layer_norm_epsilon)
         h = nn.gelu_new(nn.dense(bp["mlp"]["c_fc"], h, policy))
         x = x + nn.dense(bp["mlp"]["c_proj"], h, policy)

@@ -149,3 +149,101 @@ def test_fused_patch_embed_equals_model_pipeline():
                   preferred_element_type=jnp.float32)
     got = patch_embed(jnp.asarray(batch), jnp.asarray(w), spec, patch, use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused decode attention (cache append + valid-prefix attention)
+# ---------------------------------------------------------------------------
+
+from gpt2_image_captioning_tpu.ops import decode_attention as DA
+
+
+def _decode_inputs(b=5, n_head=4, tk=48, d=32, idx=19, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    q, kn, vn = (rng.normal(size=(b, d)).astype(dtype) for _ in range(3))
+    kc = rng.normal(size=(b, tk, d)).astype(dtype)
+    vc = rng.normal(size=(b, tk, d)).astype(dtype)
+    # rows >= idx are garbage the kernel must never attend
+    kc[:, idx:] = 1e6
+    vc[:, idx:] = -1e6
+    return (
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(kc), jnp.asarray(vc), jnp.int32(idx),
+    )
+
+
+@pytest.mark.parametrize("idx", [0, 1, 15, 16, 17, 47])
+def test_decode_attention_kernel_matches_xla(idx):
+    """Interpret-mode kernel == XLA oracle at chunk boundaries and extremes."""
+    q, kn, vn, kc, vc, _ = _decode_inputs(idx=max(idx, 1) if idx else 0)
+    kc = kc.at[:, idx:].set(1e6)
+    vc = vc.at[:, idx:].set(-1e6)
+    idx = jnp.int32(idx)
+    want, kc_w, vc_w = DA.decode_attention(
+        q, kn, vn, kc, vc, idx, n_head=4, use_pallas=False
+    )
+    got, kc_g, vc_g = DA.decode_attention(
+        q, kn, vn, kc, vc, idx, n_head=4, use_pallas=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(kc_g), np.asarray(kc_w))
+    np.testing.assert_array_equal(np.asarray(vc_g), np.asarray(vc_w))
+
+
+def test_decode_attention_kernel_matches_multihead_einsum():
+    """Against plain multi-head attention math (independent of the XLA path)."""
+    b, h, tk, d, idx = 3, 2, 32, 16, 11
+    q, kn, vn, kc, vc, idxj = _decode_inputs(b=b, n_head=h, tk=tk, d=d, idx=idx)
+    got, kc2, vc2 = DA.decode_attention(
+        q, kn, vn, kc, vc, idxj, n_head=h, use_pallas=True, interpret=True
+    )
+    hd = d // h
+    keys = np.concatenate([np.asarray(kc)[:, :idx], np.asarray(kn)[:, None]], axis=1)
+    vals = np.concatenate([np.asarray(vc)[:, :idx], np.asarray(vn)[:, None]], axis=1)
+    qh = np.asarray(q).reshape(b, h, hd)
+    kh = keys.reshape(b, idx + 1, h, hd)
+    vh = vals.reshape(b, idx + 1, h, hd)
+    s = np.einsum("bhd,bkhd->bhk", qh, kh) / np.sqrt(hd)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhk,bkhd->bhd", p, vh).reshape(b, d)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+    # the caches gained the new row at idx
+    np.testing.assert_array_equal(np.asarray(kc2)[:, idx], np.asarray(kn))
+    np.testing.assert_array_equal(np.asarray(vc2)[:, idx], np.asarray(vn))
+
+
+def test_decode_attention_bf16_close_to_f32():
+    q, kn, vn, kc, vc, idx = _decode_inputs(idx=19)
+    want, *_ = DA.decode_attention(q, kn, vn, kc, vc, idx, n_head=4, use_pallas=False)
+    bf = jnp.bfloat16
+    got, *_ = DA.decode_attention(
+        q.astype(bf), kn.astype(bf), vn.astype(bf), kc.astype(bf), vc.astype(bf),
+        idx, n_head=4, use_pallas=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_forward_cached_decode_step_pallas_matches_xla():
+    """Full GPT-2 decode step: kernel path == XLA path, token-for-token."""
+    from gpt2_image_captioning_tpu.models import gpt2
+
+    cfg = gpt2.GPT2Config.tiny()
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    b, p_len = 3, 7
+    prefix = jnp.asarray(rng.normal(size=(b, p_len, cfg.n_embd)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, b, p_len + 5)
+    logits0, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+    tok = jnp.asarray(rng.normal(size=(b, 1, cfg.n_embd)).astype(np.float32))
+    want, cache_w = gpt2.forward_cached(params, cfg, tok, cache, use_pallas_decode=False)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got, cache_g = gpt2.forward_cached(params, cfg, tok, cache, use_pallas_decode=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(cache_g["k"]), np.asarray(cache_w["k"]), atol=1e-5, rtol=1e-5
+    )
