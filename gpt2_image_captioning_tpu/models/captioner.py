@@ -34,6 +34,7 @@ import numpy as np
 from gpt2_image_captioning_tpu.core.precision import F32, Policy
 from gpt2_image_captioning_tpu.models import gpt2 as G
 from gpt2_image_captioning_tpu.models import mapping as M
+from gpt2_image_captioning_tpu.ops import decode_step as DS
 from gpt2_image_captioning_tpu.ops.sampling import sample_token
 
 IGNORE_INDEX = -100
@@ -218,6 +219,41 @@ def generate(
     tokens0 = jnp.full((b, max_length), eos, dtype=jnp.int32)
     finished0 = jnp.zeros((b,), dtype=bool)
 
+    if temperature == 0.0 and DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode):
+        # The flagship serving path: ONE Pallas kernel per decode step runs
+        # all layers + cached attention + logits argmax (ops/decode_step.py).
+        packed = DS.pack_decode_weights(gpt_params, policy.compute_dtype)
+        nxt0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        finished0 = nxt0 == eos
+        tokens0 = tokens0.at[:, 0].set(nxt0)
+
+        def f_cond(state):
+            step, _, _, finished, _, _, _ = state
+            return jnp.logical_and(step < max_length, jnp.logical_not(jnp.all(finished)))
+
+        def f_body(state):
+            step, tokens, prev, finished, k_c, v_c, index = state
+            x0 = (
+                G.embed_tokens(gpt_params, prev[:, None])[:, 0]
+                + jax.lax.dynamic_slice_in_dim(gpt_params["wpe"], index, 1, 0)[0]
+            ).astype(policy.compute_dtype)
+            nxt, k_c, v_c = DS.fused_decode_step(
+                packed, x0, k_c, v_c, index, n_head=cfg.gpt2.n_head,
+                eps=cfg.gpt2.layer_norm_epsilon,
+            )
+            finished = jnp.logical_or(finished, nxt == eos)
+            nxt = jnp.where(finished, eos, nxt)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
+            return step + 1, tokens, nxt, finished, k_c, v_c, index + 1
+
+        _, tokens, _, _, _, _, _ = jax.lax.while_loop(
+            f_cond,
+            f_body,
+            (jnp.ones((), jnp.int32), tokens0, nxt0, finished0,
+             cache["k"], cache["v"], cache["index"]),
+        )
+        return tokens
+
     def cond(state):
         step, _, _, finished, _, _ = state
         return jnp.logical_and(step < max_length, jnp.logical_not(jnp.all(finished)))
@@ -315,11 +351,12 @@ def beam_generate(
         lengths = jnp.where(finished, lengths, step + 1)
 
         # gather the KV cache along beams: flat index = batch*k + parent
+        # (cache layout (L, T, B·K, D) — batch is axis 2)
         flat_parent = (batch_idx * k + parent).reshape(-1)
         cache = dict(
             cache,
-            k=cache["k"][:, flat_parent],
-            v=cache["v"][:, flat_parent],
+            k=cache["k"][:, :, flat_parent],
+            v=cache["v"][:, :, flat_parent],
         )
 
         embed = G.embed_tokens(gpt_params, tok.reshape(b * k, 1)).astype(policy.compute_dtype)

@@ -215,17 +215,19 @@ def cross_entropy_loss(
 # ---------------------------------------------------------------------------
 
 def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32) -> dict:
-    """Per-layer KV cache, laid out (L, B, T, D).
+    """Per-layer KV cache, laid out (L, T, B, D).
 
     D = n_head·head_dim is the lane dim (768 = 6×128 lanes — no tile-padding
     waste, unlike a trailing head_dim of 64 which tiles to half a register and
     doubles effective cache traffic), and the c_attn projections append with
-    no head split/merge transposes.  The time dim is rounded up to the decode
-    kernel's chunk size so the chunk walk never pads per step; rows beyond
-    ``index`` are masked everywhere.
+    no head split/merge transposes.  T leads B so T is NOT a tiled dim —
+    single-row cache appends are then legal in-kernel DMA writes
+    (ops/decode_step.py).  The time dim is rounded up to the decode kernel's
+    chunk size so the chunk walk never pads per step; rows beyond ``index``
+    are masked everywhere.
     """
     max_len = -(-max_len // DA.CHUNK_T) * DA.CHUNK_T
-    shape = (cfg.n_layer, batch, max_len, cfg.n_embd)
+    shape = (cfg.n_layer, max_len, batch, cfg.n_embd)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
@@ -234,11 +236,11 @@ def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32) -> 
 
 
 def cache_partition_specs(cfg: GPT2Config) -> dict:
-    """(L, B, T, D): batch on dp, model width on tp (heads are contiguous
+    """(L, T, B, D): batch on dp, model width on tp (heads are contiguous
     64-lane groups of D, so a tp shard holds whole heads)."""
     return {
-        "k": P(None, "dp", None, "tp"),
-        "v": P(None, "dp", None, "tp"),
+        "k": P(None, None, "dp", "tp"),
+        "v": P(None, None, "dp", "tp"),
         "index": P(),
     }
 
@@ -274,12 +276,12 @@ def forward_cached(
     pos = jax.lax.dynamic_slice_in_dim(params["wpe"], idx, t, axis=0).astype(jnp.float32)
     x = (inputs_embeds.astype(jnp.float32) + pos[None]).astype(policy.compute_dtype)
 
-    tk = cache["k"].shape[2]
+    tk = cache["k"].shape[1]
     key_valid = (jnp.arange(tk)[None, :] < idx + t).astype(jnp.int32)
     key_valid = jnp.broadcast_to(key_valid, (b, tk))
 
     def layer(x, bp, k_cache, v_cache):
-        """One block over (x, this layer's (B, T, D) cache slabs)."""
+        """One block over (x, this layer's (T, B, D) cache slabs)."""
         h = nn.layer_norm(bp["ln_1"], x, cfg.layer_norm_epsilon)
         qkv = nn.dense(bp["attn"]["c_attn"], h, policy)
         q3, k3, v3 = jnp.split(qkv, 3, axis=-1)  # each (B, T, D)
@@ -297,14 +299,14 @@ def forward_cached(
             a = a_flat[:, None, :].astype(policy.compute_dtype)
         else:
             k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k3.astype(k_cache.dtype), (0, idx, 0)
+                k_cache, k3.transpose(1, 0, 2).astype(k_cache.dtype), (idx, 0, 0)
             )
             v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v3.astype(v_cache.dtype), (0, idx, 0)
+                v_cache, v3.transpose(1, 0, 2).astype(v_cache.dtype), (idx, 0, 0)
             )
             hd = d // cfg.n_head
-            k4 = k_cache.reshape(b, tk, cfg.n_head, hd).transpose(0, 2, 1, 3)
-            v4 = v_cache.reshape(b, tk, cfg.n_head, hd).transpose(0, 2, 1, 3)
+            k4 = k_cache.reshape(tk, b, cfg.n_head, hd).transpose(1, 2, 0, 3)
+            v4 = v_cache.reshape(tk, b, cfg.n_head, hd).transpose(1, 2, 0, 3)
             a4 = nn.attention_xla(
                 nn.split_heads(q3, cfg.n_head),
                 k4.astype(policy.compute_dtype),

@@ -11,7 +11,7 @@ level.
 
 Design (TPU-first):
 
-- **Cache layout (B, T, D)** with D = n_head·head_dim = 768: the model-width
+- **Cache layout (T, B, D)** with D = n_head·head_dim = 768: the model-width
   dim is the lane dim (768 = 6 × 128 lanes, zero padding waste), and the
   c_attn projections slot straight in with **no head split/merge transposes**.
 - **Valid-prefix reads only**: the cache lives in HBM, the grid walks
@@ -26,7 +26,7 @@ Design (TPU-first):
   always attends them, so the kernel never re-reads the cache row written
   this step.
 
-Per-head math without sub-lane reshapes: with K-chunk (BB, CT, D) and query
+Per-head math without sub-lane reshapes: with K-chunk (CT, BB, D) and query
 (BB, D), scores are computed as ``(K ⊙ q) @ HS`` where HS is the (D, H)
 block-diagonal head-sum matrix (ones over each head's 64 lanes) — a trivial
 MXU matmul that performs the per-head contraction; the inverse expansion
@@ -90,9 +90,9 @@ def _decode_kernel(
     per batch block — per-program pipeline overhead paid ~B/BB times per
     layer-step instead of once per chunk).
 
-    Blocks: q/kn/vn/o (BB, D) VMEM; k_hbm/v_hbm (B, Tpad, D) unblocked (ANY);
+    Blocks: q/kn/vn/o (BB, D) VMEM; k_hbm/v_hbm (Tpad, B, D) unblocked (ANY);
     hs (D, H) in cache dtype, he (H, D) f32.
-    Scratch: kbuf/vbuf (2, BB, CT, D) cache-dtype, ksem/vsem DMA((2,)).
+    Scratch: kbuf/vbuf (2, CT, BB, D) cache-dtype, ksem/vsem DMA((2,)).
     """
     bi = pl.program_id(0)
     idx = idx_ref[0]  # valid cache rows (this step's new token NOT included)
@@ -101,12 +101,12 @@ def _decode_kernel(
 
     def k_dma(slot, c):
         return pltpu.make_async_copy(
-            k_hbm.at[pl.ds(bi * bb, bb), pl.ds(c * ct, ct), :], kbuf.at[slot], ksem.at[slot]
+            k_hbm.at[pl.ds(c * ct, ct), pl.ds(bi * bb, bb), :], kbuf.at[slot], ksem.at[slot]
         )
 
     def v_dma(slot, c):
         return pltpu.make_async_copy(
-            v_hbm.at[pl.ds(bi * bb, bb), pl.ds(c * ct, ct), :], vbuf.at[slot], vsem.at[slot]
+            v_hbm.at[pl.ds(c * ct, ct), pl.ds(bi * bb, bb), :], vbuf.at[slot], vsem.at[slot]
         )
 
     @pl.when(nchunks > 0)
@@ -126,26 +126,26 @@ def _decode_kernel(
 
         k_dma(slot, c).wait()
         v_dma(slot, c).wait()
-        k = kbuf[slot]  # (BB, CT, D) cache dtype
+        k = kbuf[slot]  # (CT, BB, D) cache dtype
         v = vbuf[slot]
 
         # per-head QK^T via the block-diagonal head-sum matmul (MXU, f32 acc)
-        prod = k * q.astype(k.dtype)[:, None, :]
+        prod = k * q.astype(k.dtype)[None, :, :]
         s = jnp.dot(
-            prod.reshape(bb * ct, -1), hs_ref[...], preferred_element_type=jnp.float32
-        ).reshape(bb, ct, n_head) * scale
-        kpos = c * ct + jax.lax.broadcasted_iota(jnp.int32, (bb, ct, n_head), 1)
+            prod.reshape(ct * bb, -1), hs_ref[...], preferred_element_type=jnp.float32
+        ).reshape(ct, bb, n_head) * scale
+        kpos = c * ct + jax.lax.broadcasted_iota(jnp.int32, (ct, bb, n_head), 0)
         live = kpos < idx
         s = jnp.where(live, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1))
-        p = jnp.where(live, jnp.exp(s - m_new[:, None, :]), 0.0)  # (BB, CT, H) f32
+        m_new = jnp.maximum(m, jnp.max(s, axis=0))
+        p = jnp.where(live, jnp.exp(s - m_new[None, :, :]), 0.0)  # (CT, BB, H) f32
         alpha = jnp.exp(m - m_new)  # (BB, H)
-        l_new = l * alpha + jnp.sum(p, axis=1)
+        l_new = l * alpha + jnp.sum(p, axis=0)
         pe = jnp.dot(
-            p.reshape(bb * ct, n_head), he_ref[...], preferred_element_type=jnp.float32
-        ).reshape(bb, ct, -1)
-        av = jnp.sum(pe * v.astype(jnp.float32), axis=1)  # (BB, D)
+            p.reshape(ct * bb, n_head), he_ref[...], preferred_element_type=jnp.float32
+        ).reshape(ct, bb, -1)
+        av = jnp.sum(pe * v.astype(jnp.float32), axis=0)  # (BB, D)
         alpha_e = jnp.dot(alpha, he_ref[...], preferred_element_type=jnp.float32)
         return m_new, l_new, acc * alpha_e + av
 
@@ -190,20 +190,21 @@ def _decode_attention_pallas(
     block_b: int | None = None,
     chunk_t: int | None = None,
 ) -> jnp.ndarray:
-    b, tk, d = k_cache.shape
+    tk, b, d = k_cache.shape
     hd = d // n_head
     bb = block_b or _block_b(b, k_cache.dtype)
+    bb = min(-(-bb // 8) * 8, max(b, 8))  # batch is a tiled dim: 8-align blocks
     pad_b = (-b) % bb
     if pad_b:
         q, k_new, v_new = (jnp.pad(x, ((0, pad_b), (0, 0))) for x in (q, k_new, v_new))
         k_cache, v_cache = (
-            jnp.pad(x, ((0, pad_b), (0, 0), (0, 0))) for x in (k_cache, v_cache)
+            jnp.pad(x, ((0, 0), (0, pad_b), (0, 0))) for x in (k_cache, v_cache)
         )
     ct = chunk_t or CHUNK_T
     pad_t = (-tk) % ct
     if pad_t:  # init_cache rounds up, so this only triggers for foreign callers
         k_cache, v_cache = (
-            jnp.pad(x, ((0, 0), (0, pad_t), (0, 0))) for x in (k_cache, v_cache)
+            jnp.pad(x, ((0, pad_t), (0, 0), (0, 0))) for x in (k_cache, v_cache)
         )
     bp = q.shape[0]
     nb = bp // bb
@@ -227,8 +228,8 @@ def _decode_attention_pallas(
             (bb, d), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, bb, ct, d), k_cache.dtype),
-            pltpu.VMEM((2, bb, ct, d), v_cache.dtype),
+            pltpu.VMEM((2, ct, bb, d), k_cache.dtype),
+            pltpu.VMEM((2, ct, bb, d), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -252,19 +253,19 @@ def _decode_attention_xla(
     idx: jnp.ndarray,
     n_head: int,
 ) -> jnp.ndarray:
-    """Reference math on the (B, T, D) layout — the caches must already hold
+    """Reference math on the (T, B, D) layout — the caches must already hold
     the new token at row ``idx``.  Used off-TPU and as the parity oracle."""
-    b, tk, d = k_cache.shape
+    tk, b, d = k_cache.shape
     hd = d // n_head
     scale = 1.0 / math.sqrt(hd)
     qh = q.reshape(b, n_head, hd).astype(jnp.float32)
-    kh = k_cache.reshape(b, tk, n_head, hd).astype(jnp.float32)
-    vh = v_cache.reshape(b, tk, n_head, hd).astype(jnp.float32)
-    s = jnp.einsum("bhd,bkhd->bhk", qh, kh, preferred_element_type=jnp.float32) * scale
+    kh = k_cache.reshape(tk, b, n_head, hd).astype(jnp.float32)
+    vh = v_cache.reshape(tk, b, n_head, hd).astype(jnp.float32)
+    s = jnp.einsum("bhd,kbhd->bhk", qh, kh, preferred_element_type=jnp.float32) * scale
     live = (jnp.arange(tk) <= idx)[None, None, :]
     s = jnp.where(live, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bhk,bkhd->bhd", p, vh, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhk,kbhd->bhd", p, vh, preferred_element_type=jnp.float32)
     return out.reshape(b, d).astype(q.dtype)
 
 
@@ -282,17 +283,17 @@ def decode_attention(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step of attention, fused with the cache append.
 
-    q/k_new/v_new: (B, D) this step's projections; k_cache/v_cache: (B, T, D)
+    q/k_new/v_new: (B, D) this step's projections; k_cache/v_cache: (T, B, D)
     with rows [0, idx) valid; idx: scalar int32 cache write position.
     Returns (attn_out (B, D), k_cache', v_cache') with the new K/V written at
     row ``idx``.  ``use_pallas=None`` → the fused kernel on TPU (opt out with
     ``GIC_FORCE_XLA_DECODE_ATTENTION=1``), XLA everywhere else.
     """
     k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k_new[:, None, :].astype(k_cache.dtype), (0, idx, 0)
+        k_cache, k_new[None, :, :].astype(k_cache.dtype), (idx, 0, 0)
     )
     v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v_new[:, None, :].astype(v_cache.dtype), (0, idx, 0)
+        v_cache, v_new[None, :, :].astype(v_cache.dtype), (idx, 0, 0)
     )
     if use_pallas is None:
         # Measured on v5e (docs/PERF_NOTES.md round 2): each pallas_call has

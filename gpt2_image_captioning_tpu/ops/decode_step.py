@@ -1,0 +1,487 @@
+"""The fused GPT-2 greedy decode STEP as one Pallas TPU kernel.
+
+Round-2 on-chip measurements (docs/PERF_NOTES.md) showed each ``pallas_call``
+carries ~100 µs fixed overhead on this backend, so per-op kernels can never
+beat XLA on a 2.5 ms decode step — but ONE kernel per step amortizes that
+overhead across the whole transformer.  This kernel runs the entire
+single-token decode — for every layer: LayerNorm → QKV matmul → KV-cache
+append → valid-prefix cached attention → output projection → LayerNorm →
+MLP (gelu) — then the final LayerNorm, the tied-embedding logits matmul and
+the greedy argmax, without materializing logits in HBM.  It replaces the
+reference's per-token full re-forward + host top-p loop
+(``/root/reference/src/models.py:389-469``) at speed-of-light ambitions:
+per-step HBM traffic ≈ weights (streamed once) + the VALID prefix of the KV
+cache + nothing else.
+
+TPU mapping:
+
+- **Weights stream through VMEM**: every weight matrix is pre-tiled to
+  (L, n_tiles, d_in, TW) contiguous column tiles; a double-buffered DMA walk
+  overlaps each tile's fetch with the previous tile's MXU matmul.  VMEM holds
+  ~2 tiles (≤ 3 MB), never a whole layer.
+- **KV cache (L, B, T, D) stays in HBM**; per layer the kernel walks only
+  ``ceil(idx/CT)`` chunks with double-buffered DMA and an online softmax
+  (same scheme as ops/decode_attention.py, which remains the unit-testable
+  building block).  The new token's K/V are written back by DMA into row
+  ``idx`` (caches are input/output-aliased — updated in place).
+- **Per-head math without sub-lane reshapes** via the block-diagonal
+  head-sum matmul trick (see ops/decode_attention.py docstring).
+- **Greedy argmax fused into the logits stream**: the (V, D) tied embedding
+  is walked in (D, VW) tiles with a running (max, argmax) per row — the
+  (B, 50257) logits tensor never exists.  First-occurrence tie-breaking
+  matches ``jnp.argmax``.
+
+Numerics: bf16 matmul inputs with float32 accumulation (MXU-native), f32
+LayerNorm/softmax statistics — the same recipe as the XLA path; interpret-
+mode tests compare against ``gpt2.forward_cached`` + argmax exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+# Buffer sizing: v5e scoped VMEM is 16 MB and XLA places the kernel's outputs
+# there too, so the double-buffered KV chunks + weight tiles must stay ~12 MB.
+# CHUNK_T must be a multiple of 8 (the cache's sublane tiling).
+CHUNK_T = 8  # cache rows per attention DMA chunk
+TILE_W = 512  # weight-matrix column tile
+VOCAB_W = 512  # logits tile width
+BLOCK_B = 128  # batch rows per program
+
+
+def _ln(x32: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float) -> jnp.ndarray:
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale[None, :] + bias[None, :]
+
+
+def _gelu_new(x32: jnp.ndarray) -> jnp.ndarray:
+    c = math.sqrt(2.0 / math.pi)
+    return 0.5 * x32 * (1.0 + jnp.tanh(c * (x32 + 0.044715 * x32 * x32 * x32)))
+
+
+def _step_kernel(
+    # scalar prefetch
+    idx_ref,
+    # VMEM inputs
+    x_ref,          # (BB, D) compute dtype — wte[token] + wpe[idx]
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,          # (L, D) f32
+    attnb_ref, projb_ref, fcb_ref, cprojb_ref,       # (L, ·) f32 (padded)
+    lnf_ref,                                          # (2, D) f32 scale/bias
+    hs_ref,                                           # (D, H) compute dtype
+    he_ref,                                           # (H, D) f32
+    # HBM inputs (manual DMA; pre-tiled)
+    qkvw_ref,   # (L, NT_qkv, D, TW)
+    projw_ref,  # (L, NT_proj, D, TW)
+    fcw_ref,    # (L, NT_fc, D, TW)
+    cprojw_ref, # (L, NT_cproj, F, TW)
+    wtet_ref,   # (NT_v, D, VW)
+    kc_in, vc_in,  # (L, Tpad, B, D) caches — aliased to the outputs below;
+    #                all access goes through the out refs
+    # outputs
+    tok_ref,    # (BB, 1) int32
+    kc_ref, vc_ref,  # aliased caches (HBM): rows < idx read, row idx written
+    #                  in place (T is NOT a tiled dim in this layout, so the
+    #                  1-row write DMA is legal)
+    # scratch
+    wbuf,       # (2, D, TW) compute dtype — shared weight tile buffer
+    vwbuf,      # (2, D, VW) compute dtype — logits tile buffer
+    kbuf, vbuf,  # (2, CT, BB, D) cache dtype
+    knbuf, vnbuf,  # (BB, D) cache dtype — staging for the row writes
+    wsem, vwsem, ksem, vsem, wrsem,
+    *,
+    n_layer: int,
+    d: int,
+    f: int,
+    n_head: int,
+    ct: int,
+    tw: int,
+    vw: int,
+    vocab: int,
+    eps: float,
+):
+    bi = pl.program_id(0)
+    bb = x_ref.shape[0]
+    idx = idx_ref[0]
+    nchunks = (idx + ct - 1) // ct
+    scale = 1.0 / math.sqrt(d // n_head)
+    cdt = x_ref.dtype
+
+    def stream_matmul(x_in, w_hbm, l, d_in, out_w, bias_row):
+        """x_in (BB, d_in) cdt @ w[l] + bias → f32 (BB, out_w).
+
+        Weights arrive pre-tiled (L, nc·nr, D, TW), column-major over (c, r)
+        row/column blocks: the wbuf staging buffer holds one (D, TW) tile, so
+        even the (4D, D) MLP down-projection streams through a D-row buffer
+        (row blocks accumulate into the same column tile).
+        """
+        nr = d_in // d
+        nc = out_w // tw
+        nt = nr * nc
+
+        def dma(slot, t):
+            return pltpu.make_async_copy(w_hbm.at[l, t], wbuf.at[slot], wsem.at[slot])
+
+        dma(0, 0).start()
+        outs = []
+        t = 0
+        for c in range(nc):
+            acc = None
+            for r in range(nr):
+                if t + 1 < nt:
+                    dma((t + 1) % 2, t + 1).start()
+                dma(t % 2, t).wait()
+                xr = x_in if nr == 1 else x_in[:, r * d : (r + 1) * d]
+                part = jnp.dot(xr, wbuf[t % 2], preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+                t += 1
+            outs.append(acc)
+        out = outs[0] if nc == 1 else jnp.concatenate(outs, axis=-1)
+        return out + bias_row[None, :]
+
+    def attention(q, kn, vn, l):
+        """Valid-prefix cached attention for layer l; writes the new K/V row
+        into the cache in place.  q/kn/vn (BB, D) cdt → (BB, D) f32."""
+        knbuf[...] = kn.astype(knbuf.dtype)
+        vnbuf[...] = vn.astype(vnbuf.dtype)
+        kw_dma = pltpu.make_async_copy(
+            knbuf, kc_ref.at[l, idx, pl.ds(bi * bb, bb), :], wrsem.at[0]
+        )
+        vw_out_dma = pltpu.make_async_copy(
+            vnbuf, vc_ref.at[l, idx, pl.ds(bi * bb, bb), :], wrsem.at[1]
+        )
+        kw_dma.start()
+        vw_out_dma.start()
+
+        def k_dma(slot, c):
+            return pltpu.make_async_copy(
+                kc_ref.at[l, pl.ds(c * ct, ct), pl.ds(bi * bb, bb), :],
+                kbuf.at[slot],
+                ksem.at[slot],
+            )
+
+        def v_dma(slot, c):
+            return pltpu.make_async_copy(
+                vc_ref.at[l, pl.ds(c * ct, ct), pl.ds(bi * bb, bb), :],
+                vbuf.at[slot],
+                vsem.at[slot],
+            )
+
+        @pl.when(nchunks > 0)
+        def _():
+            k_dma(0, 0).start()
+            v_dma(0, 0).start()
+
+        def body(c, carry):
+            m, l_run, acc = carry
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                k_dma(nxt, c + 1).start()
+                v_dma(nxt, c + 1).start()
+
+            k_dma(slot, c).wait()
+            v_dma(slot, c).wait()
+            k = kbuf[slot]  # (CT, BB, D)
+            v = vbuf[slot]
+            prod = k * q[None, :, :]
+            s = jnp.dot(
+                prod.reshape(ct * bb, d), hs_ref[...], preferred_element_type=jnp.float32
+            ).reshape(ct, bb, n_head) * scale
+            kpos = c * ct + jax.lax.broadcasted_iota(jnp.int32, (ct, bb, n_head), 0)
+            live = kpos < idx
+            s = jnp.where(live, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=0))
+            p = jnp.where(live, jnp.exp(s - m_new[None, :, :]), 0.0)
+            alpha = jnp.exp(m - m_new)
+            l_new = l_run * alpha + jnp.sum(p, axis=0)
+            # expand probs per head (Mosaic matmuls accumulate in f32; cast
+            # down immediately so the big (CT·BB, D) temp lives in cdt)
+            pe = jnp.dot(
+                p.reshape(ct * bb, n_head).astype(cdt),
+                he_ref[...].astype(cdt),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt).reshape(ct, bb, d)
+            av = jnp.sum(pe * v, axis=0, dtype=jnp.float32)
+            alpha_e = jnp.dot(alpha, he_ref[...], preferred_element_type=jnp.float32)
+            return m_new, l_new, acc * alpha_e + av
+
+        m0 = jnp.full((bb, n_head), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bb, n_head), jnp.float32)
+        acc0 = jnp.zeros((bb, d), jnp.float32)
+        m, l_run, acc = jax.lax.fori_loop(0, nchunks, body, (m0, l0, acc0))
+
+        # epilogue: the new token, straight from VMEM
+        s_new = jnp.dot(q * kn, hs_ref[...], preferred_element_type=jnp.float32) * scale
+        m_f = jnp.maximum(m, s_new)
+        p_new = jnp.exp(s_new - m_f)
+        alpha = jnp.exp(m - m_f)
+        l_f = l_run * alpha + p_new
+        alpha_e = jnp.dot(alpha, he_ref[...], preferred_element_type=jnp.float32)
+        pn_e = jnp.dot(p_new, he_ref[...], preferred_element_type=jnp.float32)
+        acc = acc * alpha_e + pn_e * vn.astype(jnp.float32)
+        l_e = jnp.dot(l_f, he_ref[...], preferred_element_type=jnp.float32)
+        kw_dma.wait()
+        vw_out_dma.wait()
+        return acc / l_e
+
+    # output widths are tile-padded; biases arrive pre-padded, results sliced.
+    # tile counts are nc·nr with nr = d_in/D (1 everywhere except cproj).
+    qkv_w_pad = qkvw_ref.shape[1] * tw
+    proj_pad = projw_ref.shape[1] * tw
+    f_pad = fcw_ref.shape[1] * tw
+    cproj_pad = cprojw_ref.shape[1] // (f // d) * tw
+
+    x32 = x_ref[...].astype(jnp.float32)  # residual stream, f32
+    for l in range(n_layer):
+        xln = _ln(x32, ln1s_ref[l], ln1b_ref[l], eps).astype(cdt)
+        qkv = stream_matmul(xln, qkvw_ref, l, d, qkv_w_pad, attnb_ref[l])
+        q = qkv[:, :d].astype(cdt)
+        kn = qkv[:, d : 2 * d].astype(cdt)
+        vn = qkv[:, 2 * d : 3 * d].astype(cdt)
+        a = attention(q, kn, vn, l)
+        x32 = x32 + stream_matmul(a.astype(cdt), projw_ref, l, d, proj_pad, projb_ref[l])[:, :d]
+        xln2 = _ln(x32, ln2s_ref[l], ln2b_ref[l], eps).astype(cdt)
+        h = _gelu_new(stream_matmul(xln2, fcw_ref, l, d, f_pad, fcb_ref[l]))[:, :f].astype(cdt)
+        x32 = x32 + stream_matmul(h, cprojw_ref, l, f, cproj_pad, cprojb_ref[l])[:, :d]
+
+    # final LN + tied-embedding logits + running argmax, streamed over vocab
+    xf = _ln(x32, lnf_ref[0], lnf_ref[1], eps).astype(cdt)
+    nv = wtet_ref.shape[0]
+
+    def vdma(slot, t):
+        return pltpu.make_async_copy(wtet_ref.at[t], vwbuf.at[slot], vwsem.at[slot])
+
+    vdma(0, 0).start()
+    run_max = jnp.full((bb, 1), NEG_INF, jnp.float32)
+    run_idx = jnp.zeros((bb, 1), jnp.int32)
+    big = jnp.int32(2**30)
+    for t in range(nv):
+        if t + 1 < nv:
+            vdma((t + 1) % 2, t + 1).start()
+        vdma(t % 2, t).wait()
+        logits = jnp.dot(xf, vwbuf[t % 2], preferred_element_type=jnp.float32)
+        col = t * vw + jax.lax.broadcasted_iota(jnp.int32, (bb, vw), 1)
+        logits = jnp.where(col < vocab, logits, NEG_INF)
+        bm = jnp.max(logits, axis=1, keepdims=True)
+        bidx = jnp.min(jnp.where(logits == bm, col, big), axis=1, keepdims=True)
+        upd = bm > run_max
+        run_idx = jnp.where(upd, bidx, run_idx)
+        run_max = jnp.where(upd, bm, run_max)
+    tok_ref[...] = run_idx
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing + wrapper
+# ---------------------------------------------------------------------------
+
+def fused_greedy_enabled(gpt_cfg, policy, use_pallas_decode: bool | None) -> bool:
+    """Dispatch for the fused whole-step greedy decode.
+
+    Default on TPU with bf16 compute (the serving configuration — f32 at the
+    full 768-wide model would double every VMEM buffer past budget); tiny
+    models (tests) are allowed in any dtype.  ``use_pallas_decode=False``
+    opts out; env ``GIC_DISABLE_FUSED_DECODE=1`` disables globally.
+    """
+    import os
+
+    if os.environ.get("GIC_DISABLE_FUSED_DECODE"):
+        return False
+    if use_pallas_decode is False:
+        return False
+    dtype_ok = policy.compute_dtype == jnp.bfloat16 or gpt_cfg.n_embd <= 256
+    if use_pallas_decode is True:
+        return dtype_ok
+    return jax.default_backend() == "tpu" and dtype_ok
+
+def _tile_rc(w: jnp.ndarray, row_t: int, tile: int, dtype) -> jnp.ndarray:
+    """(L, d_in, out) → (L, nc·nr, row_t, tile) contiguous tiles, ordered
+    column-major over (column block c, row block r): t = c·nr + r — the
+    stream order of the kernel's accumulating matmul walk."""
+    l, d_in, out = w.shape
+    assert d_in % row_t == 0, (d_in, row_t)
+    nr = d_in // row_t
+    pad = (-out) % tile
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pad)))
+    nc = (out + pad) // tile
+    w = w.reshape(l, nr, row_t, nc, tile).transpose(0, 3, 1, 2, 4)
+    return w.reshape(l, nc * nr, row_t, tile).astype(dtype)
+
+
+def _pad_cols(b: jnp.ndarray, tile: int) -> jnp.ndarray:
+    pad = (-b.shape[-1]) % tile
+    return jnp.pad(b, ((0, 0), (0, pad))) if pad else b
+
+
+def pack_decode_weights(params: dict, compute_dtype=jnp.bfloat16, tw: int = TILE_W,
+                        vw: int = VOCAB_W) -> dict:
+    """One-time re-layout of stacked GPT-2 params for the fused step kernel.
+
+    Done inside jit (constant per generate call, amortized over all decode
+    steps): weight matrices become contiguous column tiles so every kernel
+    DMA is a single dense copy; wte is transposed once for the logits stream.
+    """
+    blocks = params["blocks"]
+    v, d = params["wte"].shape
+    pad_v = (-v) % vw
+    wte_t = params["wte"].T  # (D, V)
+    if pad_v:
+        wte_t = jnp.pad(wte_t, ((0, 0), (0, pad_v)))
+    nv = (v + pad_v) // vw
+    return {
+        "qkvw": _tile_rc(blocks["attn"]["c_attn"]["w"], d, tw, compute_dtype),
+        "projw": _tile_rc(blocks["attn"]["c_proj"]["w"], d, tw, compute_dtype),
+        "fcw": _tile_rc(blocks["mlp"]["c_fc"]["w"], d, tw, compute_dtype),
+        "cprojw": _tile_rc(blocks["mlp"]["c_proj"]["w"], d, tw, compute_dtype),
+        "wtet": wte_t.reshape(d, nv, vw).transpose(1, 0, 2).astype(compute_dtype),
+        "ln1s": blocks["ln_1"]["scale"].astype(jnp.float32),
+        "ln1b": blocks["ln_1"]["bias"].astype(jnp.float32),
+        "ln2s": blocks["ln_2"]["scale"].astype(jnp.float32),
+        "ln2b": blocks["ln_2"]["bias"].astype(jnp.float32),
+        "attnb": _pad_cols(blocks["attn"]["c_attn"]["b"].astype(jnp.float32), tw),
+        "projb": _pad_cols(blocks["attn"]["c_proj"]["b"].astype(jnp.float32), tw),
+        "fcb": _pad_cols(blocks["mlp"]["c_fc"]["b"].astype(jnp.float32), tw),
+        "cprojb": _pad_cols(blocks["mlp"]["c_proj"]["b"].astype(jnp.float32), tw),
+        "lnf": jnp.stack(
+            [params["ln_f"]["scale"], params["ln_f"]["bias"]]
+        ).astype(jnp.float32),
+        "vocab": v,
+        "mlp_width": blocks["mlp"]["c_fc"]["w"].shape[2],
+    }
+
+
+def fused_decode_step(
+    packed: dict,
+    x0: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    idx: jnp.ndarray,
+    *,
+    n_head: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused greedy decode step.
+
+    x0: (B, D) input embeddings (token embed + position embed) in the compute
+    dtype; caches (L, Tpad, B, D) with rows [0, idx) valid.  Returns
+    (next_token (B,) int32, k_cache', v_cache') with the new K/V rows written
+    at ``idx`` (in place — caches are donated/aliased).
+    """
+    from gpt2_image_captioning_tpu.ops.decode_attention import _head_sum_matrix
+
+    n_layer, tpad, b_all, d = k_cache.shape
+    b = x0.shape[0]
+    f = packed["mlp_width"]
+    cdt = x0.dtype
+    tw = packed["qkvw"].shape[3]
+    vw = packed["wtet"].shape[2]
+    ct = min(CHUNK_T, tpad)
+    bb = min(BLOCK_B, -(-b // 8) * 8)  # batch is a tiled dim: 8-align blocks
+    pad_b = (-b) % bb
+    if pad_b:
+        x0 = jnp.pad(x0, ((0, pad_b), (0, 0)))
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
+    bp = x0.shape[0]
+    nb = bp // bb
+
+    hs = _head_sum_matrix(d, n_head, cdt)
+    he = _head_sum_matrix(d, n_head, jnp.float32).T
+
+    kernel = functools.partial(
+        _step_kernel,
+        n_layer=n_layer,
+        d=d,
+        f=f,
+        n_head=n_head,
+        ct=ct,
+        tw=tw,
+        vw=vw,
+        vocab=packed["vocab"],
+        eps=eps,
+    )
+
+    def vm(shape):  # VMEM full-block spec, replicated over the batch grid
+        return pl.BlockSpec(shape, lambda bi, s: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bb, d), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),  # x
+            vm(packed["ln1s"].shape),
+            vm(packed["ln1b"].shape),
+            vm(packed["ln2s"].shape),
+            vm(packed["ln2b"].shape),
+            vm(packed["attnb"].shape),
+            vm(packed["projb"].shape),
+            vm(packed["fcb"].shape),
+            vm(packed["cprojb"].shape),
+            vm(packed["lnf"].shape),
+            vm(hs.shape),
+            vm(he.shape),
+            pl.BlockSpec(memory_space=pl.ANY),  # qkvw
+            pl.BlockSpec(memory_space=pl.ANY),  # projw
+            pl.BlockSpec(memory_space=pl.ANY),  # fcw
+            pl.BlockSpec(memory_space=pl.ANY),  # cprojw
+            pl.BlockSpec(memory_space=pl.ANY),  # wtet
+            pl.BlockSpec(memory_space=pl.ANY),  # k_cache
+            pl.BlockSpec(memory_space=pl.ANY),  # v_cache
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d, tw), cdt),
+            pltpu.VMEM((2, d, vw), cdt),
+            pltpu.VMEM((2, ct, bb, d), k_cache.dtype),
+            pltpu.VMEM((2, ct, bb, d), v_cache.dtype),
+            pltpu.VMEM((bb, d), k_cache.dtype),
+            pltpu.VMEM((bb, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    tok, kc, vc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        # caches update in place (indices count the scalar-prefetch operand)
+        input_output_aliases={18: 1, 19: 2},
+        interpret=interpret,
+    )(
+        jnp.asarray(idx, jnp.int32).reshape(1),
+        x0,
+        packed["ln1s"], packed["ln1b"], packed["ln2s"], packed["ln2b"],
+        packed["attnb"], packed["projb"], packed["fcb"], packed["cprojb"],
+        packed["lnf"], hs, he,
+        packed["qkvw"], packed["projw"], packed["fcw"], packed["cprojw"],
+        packed["wtet"],
+        k_cache, v_cache,
+    )
+    if pad_b:
+        tok = tok[:b]
+        kc = kc[:, :, :b]
+        vc = vc[:, :, :b]
+    return tok[:, 0], kc, vc

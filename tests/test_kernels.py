@@ -161,11 +161,11 @@ from gpt2_image_captioning_tpu.ops import decode_attention as DA
 def _decode_inputs(b=5, n_head=4, tk=48, d=32, idx=19, seed=0, dtype=np.float32):
     rng = np.random.default_rng(seed)
     q, kn, vn = (rng.normal(size=(b, d)).astype(dtype) for _ in range(3))
-    kc = rng.normal(size=(b, tk, d)).astype(dtype)
-    vc = rng.normal(size=(b, tk, d)).astype(dtype)
+    kc = rng.normal(size=(tk, b, d)).astype(dtype)  # cache layout (T, B, D)
+    vc = rng.normal(size=(tk, b, d)).astype(dtype)
     # rows >= idx are garbage the kernel must never attend
-    kc[:, idx:] = 1e6
-    vc[:, idx:] = -1e6
+    kc[idx:] = 1e6
+    vc[idx:] = -1e6
     return (
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
         jnp.asarray(kc), jnp.asarray(vc), jnp.int32(idx),
@@ -176,8 +176,8 @@ def _decode_inputs(b=5, n_head=4, tk=48, d=32, idx=19, seed=0, dtype=np.float32)
 def test_decode_attention_kernel_matches_xla(idx):
     """Interpret-mode kernel == XLA oracle at chunk boundaries and extremes."""
     q, kn, vn, kc, vc, _ = _decode_inputs(idx=max(idx, 1) if idx else 0)
-    kc = kc.at[:, idx:].set(1e6)
-    vc = vc.at[:, idx:].set(-1e6)
+    kc = kc.at[idx:].set(1e6)
+    vc = vc.at[idx:].set(-1e6)
     idx = jnp.int32(idx)
     want, kc_w, vc_w = DA.decode_attention(
         q, kn, vn, kc, vc, idx, n_head=4, use_pallas=False
@@ -198,8 +198,12 @@ def test_decode_attention_kernel_matches_multihead_einsum():
         q, kn, vn, kc, vc, idxj, n_head=h, use_pallas=True, interpret=True
     )
     hd = d // h
-    keys = np.concatenate([np.asarray(kc)[:, :idx], np.asarray(kn)[:, None]], axis=1)
-    vals = np.concatenate([np.asarray(vc)[:, :idx], np.asarray(vn)[:, None]], axis=1)
+    keys = np.concatenate(
+        [np.asarray(kc)[:idx].transpose(1, 0, 2), np.asarray(kn)[:, None]], axis=1
+    )
+    vals = np.concatenate(
+        [np.asarray(vc)[:idx].transpose(1, 0, 2), np.asarray(vn)[:, None]], axis=1
+    )
     qh = np.asarray(q).reshape(b, h, hd)
     kh = keys.reshape(b, idx + 1, h, hd)
     vh = vals.reshape(b, idx + 1, h, hd)
@@ -209,8 +213,8 @@ def test_decode_attention_kernel_matches_multihead_einsum():
     want = np.einsum("bhk,bkhd->bhd", p, vh).reshape(b, d)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
     # the caches gained the new row at idx
-    np.testing.assert_array_equal(np.asarray(kc2)[:, idx], np.asarray(kn))
-    np.testing.assert_array_equal(np.asarray(vc2)[:, idx], np.asarray(vn))
+    np.testing.assert_array_equal(np.asarray(kc2)[idx], np.asarray(kn))
+    np.testing.assert_array_equal(np.asarray(vc2)[idx], np.asarray(vn))
 
 
 def test_decode_attention_bf16_close_to_f32():
@@ -247,3 +251,72 @@ def test_forward_cached_decode_step_pallas_matches_xla():
     np.testing.assert_allclose(
         np.asarray(cache_g["k"]), np.asarray(cache_w["k"]), atol=1e-5, rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-step greedy decode kernel (ops/decode_step.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_decode_step_matches_forward_cached():
+    """Interpret mode: the mega-kernel's token AND cache update equal the
+    layerwise forward_cached + argmax path over several chained steps."""
+    from gpt2_image_captioning_tpu.models import gpt2
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+    cfg = gpt2.GPT2Config(vocab_size=293, n_positions=128, n_embd=32, n_layer=2, n_head=2)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    b, p_len = 3, 7
+    prefix = jnp.asarray(rng.normal(size=(b, p_len, cfg.n_embd)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, b, p_len + 6)
+    logits0, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32)
+
+    cache_f = dict(cache)
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    tok_f = tok
+    for _ in range(5):
+        emb = gpt2.embed_tokens(params, tok[:, None])
+        logits, cache = gpt2.forward_cached(params, cfg, emb, cache, use_pallas_decode=False)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        idx = cache_f["index"]
+        x0 = gpt2.embed_tokens(params, tok_f[:, None])[:, 0] + params["wpe"][idx]
+        nxt, kc, vc = DS.fused_decode_step(
+            packed, x0.astype(jnp.float32), cache_f["k"], cache_f["v"], idx,
+            n_head=cfg.n_head, interpret=True,
+        )
+        cache_f = {"k": kc, "v": vc, "index": idx + 1}
+        tok_f = nxt
+        np.testing.assert_array_equal(np.asarray(tok), np.asarray(nxt))
+        np.testing.assert_allclose(
+            np.asarray(cache["k"]), np.asarray(kc), atol=1e-6, rtol=1e-6
+        )
+
+
+def test_generate_fused_greedy_matches_reference_loop():
+    """End-to-end generate(): fused whole-step path == per-layer XLA path,
+    token-for-token, including EOS forcing and early exit."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    gcfg = G.GPT2Config(vocab_size=293, n_positions=64, n_embd=32, n_layer=2, n_head=2)
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=16, gpt_dim=32)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=292)
+    trainable, frozen = C.init_params(jax.random.PRNGKey(3), ccfg)
+    emb = jnp.asarray(np.random.default_rng(5).normal(size=(4, 16)).astype(np.float32))
+
+    want = C.generate(
+        trainable, frozen, ccfg, emb, max_length=12, temperature=0.0, top_p=1.0,
+        use_pallas_decode=False,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = C.generate(
+            trainable, frozen, ccfg, emb, max_length=12, temperature=0.0, top_p=1.0,
+            use_pallas_decode=True,
+        )
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
