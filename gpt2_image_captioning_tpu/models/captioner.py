@@ -199,12 +199,17 @@ def generate(
     policy: Policy = F32,
     unroll_decode: bool = True,
     use_pallas_decode: bool | None = None,
+    packed: dict | None = None,
 ) -> jnp.ndarray:
     """Autoregressive caption generation → token ids (B, max_length).
 
     Finished sequences are padded with EOS (stripped by
     ``batch_decode(skip_special_tokens=True)``), matching the reference's
     output contract (``src/models.py:451-477``).
+
+    ``packed`` — pre-tiled weights from :func:`prepare_decode_weights`; pass
+    it to amortize the fused kernel's weight re-layout across calls (the
+    model facade caches it automatically).
     """
     gpt_params = _gpt(trainable, frozen)
     eos = cfg.eos_token_id
@@ -214,7 +219,9 @@ def generate(
     prefix = build_prefix(trainable, cfg, image_embeddings, policy)
     b, p_len, _ = prefix.shape
     cache = G.init_cache(cfg.gpt2, b, p_len + max_length, dtype=policy.compute_dtype)
-    logits, cache = G.forward_cached(gpt_params, cfg.gpt2, prefix, cache, policy)
+    logits, cache = G.forward_cached(
+        gpt_params, cfg.gpt2, prefix, cache, policy, fresh_prefill=True
+    )
 
     tokens0 = jnp.full((b, max_length), eos, dtype=jnp.int32)
     finished0 = jnp.zeros((b,), dtype=bool)
@@ -222,7 +229,8 @@ def generate(
     if temperature == 0.0 and DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode):
         # The flagship serving path: ONE Pallas kernel per decode step runs
         # all layers + cached attention + logits argmax (ops/decode_step.py).
-        packed = DS.pack_decode_weights(gpt_params, policy.compute_dtype)
+        if packed is None:
+            packed = DS.pack_decode_weights(gpt_params, policy.compute_dtype)
         nxt0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         finished0 = nxt0 == eos
         tokens0 = tokens0.at[:, 0].set(nxt0)
@@ -239,7 +247,7 @@ def generate(
             ).astype(policy.compute_dtype)
             nxt, k_c, v_c = DS.fused_decode_step(
                 packed, x0, k_c, v_c, index, n_head=cfg.gpt2.n_head,
-                eps=cfg.gpt2.layer_norm_epsilon,
+                vocab=cfg.gpt2.vocab_size, eps=cfg.gpt2.layer_norm_epsilon,
             )
             finished = jnp.logical_or(finished, nxt == eos)
             nxt = jnp.where(finished, eos, nxt)
@@ -276,6 +284,17 @@ def generate(
         cond, body, (jnp.zeros((), jnp.int32), tokens0, logits, finished0, cache, rng)
     )
     return tokens
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "policy"))
+def prepare_decode_weights(trainable: dict, frozen: dict, cfg: CaptionerConfig,
+                           policy: Policy = F32) -> dict:
+    """Pre-tile the GPT-2 weights for the fused greedy decode kernel.
+
+    The fused step kernel streams weights as contiguous column tiles
+    (ops/decode_step.py); this re-layout costs a few ms on device — compute
+    it once per weight set and pass to :func:`generate` as ``packed``."""
+    return DS.pack_decode_weights(_gpt(trainable, frozen), policy.compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +336,9 @@ def beam_generate(
     # expand to (B*K, ...) beams
     prefix = jnp.repeat(prefix, k, axis=0)
     cache = G.init_cache(cfg.gpt2, b * k, p_len + max_length, dtype=policy.compute_dtype)
-    logits, cache = G.forward_cached(gpt_params, cfg.gpt2, prefix, cache, policy)
+    logits, cache = G.forward_cached(
+        gpt_params, cfg.gpt2, prefix, cache, policy, fresh_prefill=True
+    )
 
     neg_inf = jnp.finfo(jnp.float32).min
     # only beam 0 is live initially so the first step doesn't duplicate beams
@@ -436,6 +457,14 @@ class ImageCaptioningModel:
         decode (half the HBM bytes/step → +25% throughput measured at b=128;
         see docs/PERF_NOTES.md).  Default keeps full f32 reference parity."""
         tr, fz, pol = self.decode_params(decode_precision)
+        packed = None
+        if temperature == 0.0 and DS.fused_greedy_enabled(self.cfg.gpt2, pol, None):
+            # cache the kernel's pre-tiled weights, keyed on weight identity
+            cache = getattr(self, "_packed_cache", None)
+            if cache is None or cache[0] is not tr or cache[1] is not fz or cache[2] is not pol:
+                cache = (tr, fz, pol, prepare_decode_weights(tr, fz, self.cfg, pol))
+                self._packed_cache = cache
+            packed = cache[3]
         return generate(
             tr,
             fz,
@@ -446,6 +475,7 @@ class ImageCaptioningModel:
             top_p=top_p,
             rng=rng,
             policy=pol,
+            packed=packed,
         )
 
     def decode_params(self, decode_precision: str | None = None):

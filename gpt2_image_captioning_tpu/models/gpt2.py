@@ -253,6 +253,7 @@ def forward_cached(
     policy: Policy = F32,
     unroll: bool = False,
     use_pallas_decode: bool | None = None,
+    fresh_prefill: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """Forward ``inputs_embeds`` (B, T, D) starting at position
     ``cache['index']``; returns (last-position logits (B, V), updated cache).
@@ -304,18 +305,29 @@ def forward_cached(
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, v3.transpose(1, 0, 2).astype(v_cache.dtype), (idx, 0, 0)
             )
-            hd = d // cfg.n_head
-            k4 = k_cache.reshape(tk, b, cfg.n_head, hd).transpose(1, 2, 0, 3)
-            v4 = v_cache.reshape(tk, b, cfg.n_head, hd).transpose(1, 2, 0, 3)
-            a4 = nn.attention_xla(
-                nn.split_heads(q3, cfg.n_head),
-                k4.astype(policy.compute_dtype),
-                v4.astype(policy.compute_dtype),
-                causal=True,
-                key_mask=key_valid,
-                q_offset=idx,
-                policy=policy,
-            )
+            if fresh_prefill:
+                # cache rows before idx are empty (idx == 0): attend the
+                # prefix directly — no padded-cache readback or transposes
+                a4 = mha(
+                    nn.split_heads(q3, cfg.n_head),
+                    nn.split_heads(k3, cfg.n_head),
+                    nn.split_heads(v3, cfg.n_head),
+                    causal=True,
+                    policy=policy,
+                )
+            else:
+                hd = d // cfg.n_head
+                k4 = k_cache.reshape(tk, b, cfg.n_head, hd).transpose(1, 2, 0, 3)
+                v4 = v_cache.reshape(tk, b, cfg.n_head, hd).transpose(1, 2, 0, 3)
+                a4 = nn.attention_xla(
+                    nn.split_heads(q3, cfg.n_head),
+                    k4.astype(policy.compute_dtype),
+                    v4.astype(policy.compute_dtype),
+                    causal=True,
+                    key_mask=key_valid,
+                    q_offset=idx,
+                    policy=policy,
+                )
             a = nn.merge_heads(a4)
         x = x + nn.dense(bp["attn"]["c_proj"], a, policy)
         h = nn.layer_norm(bp["ln_2"], x, cfg.layer_norm_epsilon)

@@ -52,7 +52,7 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 # there too, so the double-buffered KV chunks + weight tiles must stay ~12 MB.
 # CHUNK_T must be a multiple of 8 (the cache's sublane tiling).
 CHUNK_T = 8  # cache rows per attention DMA chunk
-TILE_W = 512  # weight-matrix column tile
+TILE_W = 768  # weight-matrix column tile (all GPT-2 dims divide by 768 — no pad)
 VOCAB_W = 512  # logits tile width
 BLOCK_B = 128  # batch rows per program
 
@@ -74,7 +74,7 @@ def _step_kernel(
     # VMEM inputs
     x_ref,          # (BB, D) compute dtype — wte[token] + wpe[idx]
     ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,          # (L, D) f32
-    attnb_ref, projb_ref, fcb_ref, cprojb_ref,       # (L, ·) f32 (padded)
+    attnb_ref, projb_ref, fcb_ref, cprojb_ref,       # (L, nc, 1, TW) f32 tiles
     lnf_ref,                                          # (2, D) f32 scale/bias
     hs_ref,                                           # (D, H) compute dtype
     he_ref,                                           # (H, D) f32
@@ -115,13 +115,17 @@ def _step_kernel(
     scale = 1.0 / math.sqrt(d // n_head)
     cdt = x_ref.dtype
 
-    def stream_matmul(x_in, w_hbm, l, d_in, out_w, bias_row):
-        """x_in (BB, d_in) cdt @ w[l] + bias → f32 (BB, out_w).
+    def stream_matmul(x_in, w_hbm, l, d_in, out_w, bias_ref, post=None):
+        """x_in (BB, d_in) cdt @ w[l] + bias → (BB, out_w).
 
         Weights arrive pre-tiled (L, nc·nr, D, TW), column-major over (c, r)
         row/column blocks: the wbuf staging buffer holds one (D, TW) tile, so
         even the (4D, D) MLP down-projection streams through a D-row buffer
         (row blocks accumulate into the same column tile).
+
+        ``post`` (e.g. gelu+cast) is applied per COLUMN TILE so wide f32
+        results never sit on the VMEM stack at full width.  ``bias_ref`` is
+        pre-tiled (L, nc, 1, TW) — offset slices of a bias row do not lower.
         """
         nr = d_in // d
         nc = out_w // tw
@@ -143,9 +147,9 @@ def _step_kernel(
                 part = jnp.dot(xr, wbuf[t % 2], preferred_element_type=jnp.float32)
                 acc = part if acc is None else acc + part
                 t += 1
-            outs.append(acc)
-        out = outs[0] if nc == 1 else jnp.concatenate(outs, axis=-1)
-        return out + bias_row[None, :]
+            acc = acc + bias_ref[l, c]
+            outs.append(post(acc) if post else acc)
+        return outs[0] if nc == 1 else jnp.concatenate(outs, axis=-1)
 
     def attention(q, kn, vn, l):
         """Valid-prefix cached attention for layer l; writes the new K/V row
@@ -242,18 +246,21 @@ def _step_kernel(
     f_pad = fcw_ref.shape[1] * tw
     cproj_pad = cprojw_ref.shape[1] // (f // d) * tw
 
+    to_cdt = lambda t: t.astype(cdt)  # noqa: E731
+    gelu_cdt = lambda t: _gelu_new(t).astype(cdt)  # noqa: E731
+
     x32 = x_ref[...].astype(jnp.float32)  # residual stream, f32
     for l in range(n_layer):
         xln = _ln(x32, ln1s_ref[l], ln1b_ref[l], eps).astype(cdt)
-        qkv = stream_matmul(xln, qkvw_ref, l, d, qkv_w_pad, attnb_ref[l])
-        q = qkv[:, :d].astype(cdt)
-        kn = qkv[:, d : 2 * d].astype(cdt)
-        vn = qkv[:, 2 * d : 3 * d].astype(cdt)
+        qkv = stream_matmul(xln, qkvw_ref, l, d, qkv_w_pad, attnb_ref, post=to_cdt)
+        q = qkv[:, :d]
+        kn = qkv[:, d : 2 * d]
+        vn = qkv[:, 2 * d : 3 * d]
         a = attention(q, kn, vn, l)
-        x32 = x32 + stream_matmul(a.astype(cdt), projw_ref, l, d, proj_pad, projb_ref[l])[:, :d]
+        x32 = x32 + stream_matmul(a.astype(cdt), projw_ref, l, d, proj_pad, projb_ref)[:, :d]
         xln2 = _ln(x32, ln2s_ref[l], ln2b_ref[l], eps).astype(cdt)
-        h = _gelu_new(stream_matmul(xln2, fcw_ref, l, d, f_pad, fcb_ref[l]))[:, :f].astype(cdt)
-        x32 = x32 + stream_matmul(h, cprojw_ref, l, f, cproj_pad, cprojb_ref[l])[:, :d]
+        h = stream_matmul(xln2, fcw_ref, l, d, f_pad, fcb_ref, post=gelu_cdt)[:, :f]
+        x32 = x32 + stream_matmul(h, cprojw_ref, l, f, cproj_pad, cprojb_ref)[:, :d]
 
     # final LN + tied-embedding logits + running argmax, streamed over vocab
     xf = _ln(x32, lnf_ref[0], lnf_ref[1], eps).astype(cdt)
@@ -324,6 +331,14 @@ def _pad_cols(b: jnp.ndarray, tile: int) -> jnp.ndarray:
     return jnp.pad(b, ((0, 0), (0, pad))) if pad else b
 
 
+def _tile_bias(b: jnp.ndarray, tile: int) -> jnp.ndarray:
+    """(L, out) → (L, nc, 1, tile) so the kernel adds whole bias tiles
+    (offset slices of a bias row do not lower in Mosaic)."""
+    b = _pad_cols(b.astype(jnp.float32), tile)
+    l, out = b.shape
+    return b.reshape(l, out // tile, 1, tile)
+
+
 def pack_decode_weights(params: dict, compute_dtype=jnp.bfloat16, tw: int = TILE_W,
                         vw: int = VOCAB_W) -> dict:
     """One-time re-layout of stacked GPT-2 params for the fused step kernel.
@@ -349,15 +364,13 @@ def pack_decode_weights(params: dict, compute_dtype=jnp.bfloat16, tw: int = TILE
         "ln1b": blocks["ln_1"]["bias"].astype(jnp.float32),
         "ln2s": blocks["ln_2"]["scale"].astype(jnp.float32),
         "ln2b": blocks["ln_2"]["bias"].astype(jnp.float32),
-        "attnb": _pad_cols(blocks["attn"]["c_attn"]["b"].astype(jnp.float32), tw),
-        "projb": _pad_cols(blocks["attn"]["c_proj"]["b"].astype(jnp.float32), tw),
-        "fcb": _pad_cols(blocks["mlp"]["c_fc"]["b"].astype(jnp.float32), tw),
-        "cprojb": _pad_cols(blocks["mlp"]["c_proj"]["b"].astype(jnp.float32), tw),
+        "attnb": _tile_bias(blocks["attn"]["c_attn"]["b"], tw),
+        "projb": _tile_bias(blocks["attn"]["c_proj"]["b"], tw),
+        "fcb": _tile_bias(blocks["mlp"]["c_fc"]["b"], tw),
+        "cprojb": _tile_bias(blocks["mlp"]["c_proj"]["b"], tw),
         "lnf": jnp.stack(
             [params["ln_f"]["scale"], params["ln_f"]["bias"]]
         ).astype(jnp.float32),
-        "vocab": v,
-        "mlp_width": blocks["mlp"]["c_fc"]["w"].shape[2],
     }
 
 
@@ -369,6 +382,7 @@ def fused_decode_step(
     idx: jnp.ndarray,
     *,
     n_head: int,
+    vocab: int,
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -383,7 +397,7 @@ def fused_decode_step(
 
     n_layer, tpad, b_all, d = k_cache.shape
     b = x0.shape[0]
-    f = packed["mlp_width"]
+    f = 4 * d  # GPT-2 MLP width
     cdt = x0.dtype
     tw = packed["qkvw"].shape[3]
     vw = packed["wtet"].shape[2]
@@ -409,7 +423,7 @@ def fused_decode_step(
         ct=ct,
         tw=tw,
         vw=vw,
-        vocab=packed["vocab"],
+        vocab=vocab,
         eps=eps,
     )
 

@@ -285,7 +285,7 @@ def test_fused_decode_step_matches_forward_cached():
         x0 = gpt2.embed_tokens(params, tok_f[:, None])[:, 0] + params["wpe"][idx]
         nxt, kc, vc = DS.fused_decode_step(
             packed, x0.astype(jnp.float32), cache_f["k"], cache_f["v"], idx,
-            n_head=cfg.n_head, interpret=True,
+            n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
         )
         cache_f = {"k": kc, "v": vc, "index": idx + 1}
         tok_f = nxt
