@@ -183,7 +183,7 @@ def mean_loss(
     jax.jit,
     static_argnames=(
         "cfg", "max_length", "temperature", "top_p", "policy", "unroll_decode",
-        "use_pallas_decode",
+        "use_pallas_decode", "mesh",
     ),
 )
 def generate(
@@ -200,6 +200,7 @@ def generate(
     unroll_decode: bool = True,
     use_pallas_decode: bool | None = None,
     packed: dict | None = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Autoregressive caption generation → token ids (B, max_length).
 
@@ -210,6 +211,11 @@ def generate(
     ``packed`` — pre-tiled weights from :func:`prepare_decode_weights`; pass
     it to amortize the fused kernel's weight re-layout across calls (the
     model facade caches it automatically).
+
+    ``mesh`` — a ``(dp, tp)`` Mesh for sharded decode: the KV cache is
+    constrained to ``cache_partition_specs`` (batch over dp, model width over
+    tp).  With tp > 1 the layerwise XLA path runs (GSPMD partitions it; the
+    fused Pallas kernel is single-device).
     """
     gpt_params = _gpt(trainable, frozen)
     eos = cfg.eos_token_id
@@ -219,6 +225,16 @@ def generate(
     prefix = build_prefix(trainable, cfg, image_embeddings, policy)
     b, p_len, _ = prefix.shape
     cache = G.init_cache(cfg.gpt2, b, p_len + max_length, dtype=policy.compute_dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        cache_sh = jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            G.cache_partition_specs(cfg.gpt2),
+            is_leaf=lambda x: isinstance(x, _P),
+        )
+        cache = jax.lax.with_sharding_constraint(cache, cache_sh)
     logits, cache = G.forward_cached(
         gpt_params, cfg.gpt2, prefix, cache, policy, fresh_prefill=True
     )
@@ -226,7 +242,11 @@ def generate(
     tokens0 = jnp.full((b, max_length), eos, dtype=jnp.int32)
     finished0 = jnp.zeros((b,), dtype=bool)
 
-    if temperature == 0.0 and DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode):
+    if (
+        temperature == 0.0
+        and mesh is None  # the fused kernel is single-device; GSPMD can't split it
+        and DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode)
+    ):
         # The flagship serving path: ONE Pallas kernel per decode step runs
         # all layers + cached attention + logits argmax (ops/decode_step.py).
         if packed is None:
@@ -304,7 +324,8 @@ def prepare_decode_weights(trainable: dict, frozen: dict, cfg: CaptionerConfig,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_length", "beam_size", "length_penalty", "policy", "use_pallas_decode"
+        "cfg", "max_length", "beam_size", "length_penalty", "policy",
+        "use_pallas_decode", "mesh",
     ),
 )
 def beam_generate(
@@ -318,6 +339,7 @@ def beam_generate(
     length_penalty: float = 1.0,
     policy: Policy = F32,
     use_pallas_decode: bool | None = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Length-normalized beam search → best beam's token ids (B, max_length).
 
@@ -336,6 +358,16 @@ def beam_generate(
     # expand to (B*K, ...) beams
     prefix = jnp.repeat(prefix, k, axis=0)
     cache = G.init_cache(cfg.gpt2, b * k, p_len + max_length, dtype=policy.compute_dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        cache_sh = jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            G.cache_partition_specs(cfg.gpt2),
+            is_leaf=lambda x: isinstance(x, _P),
+        )
+        cache = jax.lax.with_sharding_constraint(cache, cache_sh)
     logits, cache = G.forward_cached(
         gpt_params, cfg.gpt2, prefix, cache, policy, fresh_prefill=True
     )

@@ -126,6 +126,23 @@ def make_train_step(
     ), (tr_sh, fr_sh, opt_sh, batch_sh)
 
 
+def _put_global_batch(group: dict, batch_sh) -> dict:
+    """Host batch → device arrays under ``batch_sh``.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process
+    (multi-host), where each host's Batcher yields only its contiguous shard
+    of the global batch, every leaf is assembled into a global jax.Array via
+    ``jax.make_array_from_process_local_data`` — the multihost ingestion path
+    (SURVEY.md §2.3's DCN-aware plan).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(group, batch_sh)
+    return {
+        k: jax.make_array_from_process_local_data(batch_sh, np.asarray(v))
+        for k, v in group.items()
+    }
+
+
 def _group_microbatches(batches: list[dict], accum: int) -> dict:
     """Stack ``accum`` micro-batches along a new leading axis, padding the
     final group with all-ignored dummies (zero loss and gradient)."""
@@ -276,7 +293,7 @@ def train(
 
         def run_group(group, trainable, opt_state):
             group = {k: v for k, v in group.items() if k != "image_id"}
-            group = jax.device_put(group, batch_sh)
+            group = _put_global_batch(group, batch_sh)
             timer.start()
             trainable, opt_state, loss, _gnorm = step_fn(
                 trainable, opt_state, frozen, group, extra

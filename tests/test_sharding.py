@@ -77,3 +77,51 @@ def test_generate_invariant_to_dp_sharding(setup):
                    max_length=6, temperature=0.0, top_p=1.0)
     )
     np.testing.assert_array_equal(base, got)
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 2), (1, 4)])
+def test_generate_invariant_to_tp_sharding(setup, dp, tp):
+    """TP-sharded decode (params + KV cache partitioned over tp, GSPMD
+    collectives) produces the same tokens as single-device decode."""
+    from gpt2_image_captioning_tpu.core.mesh import batch_sharding
+    from gpt2_image_captioning_tpu.train.loop import _spec_to_sharding
+
+    ccfg, model, host_tr, batch = setup
+    emb = jnp.asarray(batch["image_embedding"])
+    base = np.asarray(
+        C.generate(model.trainable, model.frozen, ccfg, emb,
+                   max_length=6, temperature=0.0, top_p=1.0)
+    )
+    mesh = create_mesh(MeshSpec(dp=dp, tp=tp))
+    tr_specs, fr_specs = C.partition_specs(ccfg)
+    tr = jax.device_put(model.trainable, _spec_to_sharding(mesh, tr_specs))
+    fz = jax.device_put(model.frozen, _spec_to_sharding(mesh, fr_specs))
+    emb_sharded = jax.device_put(emb, batch_sharding(mesh))
+    got = np.asarray(
+        C.generate(tr, fz, ccfg, emb_sharded,
+                   max_length=6, temperature=0.0, top_p=1.0, mesh=mesh)
+    )
+    np.testing.assert_array_equal(base, got)
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 2)])
+def test_beam_generate_invariant_to_tp_sharding(setup, dp, tp):
+    from gpt2_image_captioning_tpu.core.mesh import batch_sharding
+    from gpt2_image_captioning_tpu.train.loop import _spec_to_sharding
+
+    ccfg, model, host_tr, batch = setup
+    emb = jnp.asarray(batch["image_embedding"])
+    base = np.asarray(
+        C.beam_generate(model.trainable, model.frozen, ccfg, emb,
+                        max_length=5, beam_size=2)
+    )
+    mesh = create_mesh(MeshSpec(dp=dp, tp=tp))
+    tr_specs, fr_specs = C.partition_specs(ccfg)
+    tr = jax.device_put(model.trainable, _spec_to_sharding(mesh, tr_specs))
+    fz = jax.device_put(model.frozen, _spec_to_sharding(mesh, fr_specs))
+    emb_sharded = jax.device_put(emb, batch_sharding(mesh))
+    got = np.asarray(
+        C.beam_generate(tr, fz, ccfg, emb_sharded,
+                        max_length=5, beam_size=2, mesh=mesh)
+    )
+    np.testing.assert_array_equal(base, got)
