@@ -143,6 +143,41 @@ def _put_global_batch(group: dict, batch_sh) -> dict:
     }
 
 
+def _prefetched(iterable, transform, depth: int = 2):
+    """Apply ``transform`` in a background thread, ``depth`` items ahead.
+
+    Overlaps host-side work (C++ HNSW / persistent-store RAT retrieval) with
+    the device running the previous step — the reference's thread pool did
+    per-item lookups inside the step instead (``src/models.py:697-715``);
+    here the whole NEXT batch's retrieval runs while the TPU computes.
+    Exceptions from the worker re-raise in the consumer; order is preserved.
+    """
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(transform(item))
+        except BaseException as e:  # noqa: BLE001 — propagated to consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def _group_microbatches(batches: list[dict], accum: int) -> dict:
     """Stack ``accum`` micro-batches along a new leading axis, padding the
     final group with all-ignored dummies (zero loss and gradient)."""
@@ -321,9 +356,11 @@ def train(
                 profiling[0] = False
 
         group_idx = 0
-        for batch in batcher.epoch(epoch):
-            if rat_cfg is not None and not fused_retrieval:
-                batch = host_retrieve(batch)
+        batch_iter = batcher.epoch(epoch)
+        if rat_cfg is not None and not fused_retrieval:
+            # prefetch host-store retrieval one batch ahead of the device
+            batch_iter = _prefetched(batch_iter, host_retrieve)
+        for batch in batch_iter:
             if grad_accum_steps == 1:
                 group = batch
             else:

@@ -148,3 +148,22 @@ def test_generate_predictions_bf16_precision(model, data):
     assert all(isinstance(p["caption"], str) for p in preds16)
     with pytest.raises(ValueError, match="decode_precision"):
         generate_predictions(model, ds, batch_size=8, decode_precision="int8", verbose=False)
+
+
+def test_prefetched_preserves_order_and_propagates_errors():
+    from gpt2_image_captioning_tpu.train.loop import _prefetched
+
+    got = list(_prefetched(range(20), lambda x: x * x))
+    assert got == [x * x for x in range(20)]
+
+    def boom(x):
+        if x == 3:
+            raise ValueError("retrieval failed")
+        return x
+
+    it = _prefetched(range(10), boom)
+    out = []
+    with pytest.raises(ValueError, match="retrieval failed"):
+        for v in it:
+            out.append(v)
+    assert out == [0, 1, 2]
