@@ -78,10 +78,13 @@ def main():
     log(f"   tpu generate took {time.time() - t0:.1f}s")
     with xla_attention():
         with jax.default_device(cpu):
+            # use_pallas_decode=False: the fused-step kernel dispatches off
+            # the default BACKEND (tpu here), but this trace lowers for CPU
             cpu_toks = np.asarray(
                 C.generate(
                     jax.device_put(tr, cpu), jax.device_put(fz, cpu), ccfg,
-                    jax.device_put(emb, cpu), max_length=12, temperature=0.0, top_p=1.0,
+                    jax.device_put(emb, cpu), max_length=12, temperature=0.0,
+                    top_p=1.0, use_pallas_decode=False,
                 )
             )
     same = (tpu_toks == cpu_toks).mean()
