@@ -36,6 +36,7 @@ from gpt2_image_captioning_tpu.models import gpt2 as G
 from gpt2_image_captioning_tpu.models import mapping as M
 from gpt2_image_captioning_tpu.ops import decode_step as DS
 from gpt2_image_captioning_tpu.ops.sampling import sample_token
+from gpt2_image_captioning_tpu.ops.xent import xent_sum
 
 IGNORE_INDEX = -100
 
@@ -164,8 +165,14 @@ def loss_fn(
         [jnp.ones((b, p_len), dtype=batch["attention_mask"].dtype), batch["attention_mask"]],
         axis=1,
     )
-    logits = G.forward(gpt_params, cfg.gpt2, inputs, mask, policy)
-    return G.cross_entropy_loss(logits, labels)
+    hidden = G.forward_hidden(gpt_params, cfg.gpt2, inputs, mask, policy)
+    # shifted next-token CE via the vocab-chunked op (ops/xent.py) — the
+    # (B·T, V) logits/softmax never materialize and the backward is
+    # scatter-free; numerics match G.cross_entropy_loss (the test oracle)
+    h2 = policy.cast(hidden[:, :-1, :]).reshape(-1, hidden.shape[-1])
+    lab2 = labels[:, 1:].reshape(-1)
+    nll = xent_sum(h2, gpt_params["wte"].astype(policy.compute_dtype), lab2)
+    return nll, jnp.sum(lab2 != IGNORE_INDEX)
 
 
 def mean_loss(

@@ -156,14 +156,14 @@ def _block(
     return x + nn.dense(bp["mlp"]["c_proj"], h, policy)
 
 
-def forward(
+def forward_hidden(
     params: dict,
     cfg: GPT2Config,
     inputs_embeds: jnp.ndarray,
     attention_mask: jnp.ndarray | None = None,
     policy: Policy = F32,
 ) -> jnp.ndarray:
-    """Full-sequence causal LM forward over embeddings → logits (B, T, V).
+    """Full-sequence causal forward → final-LayerNorm hidden states (B, T, D).
 
     ``attention_mask`` is the HF-style key padding mask (B, T), 1 = attend.
     Position embeddings are absolute from 0 (HF's default when only
@@ -177,7 +177,18 @@ def forward(
         return _block(bp, cfg, x, key_mask=attention_mask, policy=policy), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    x = nn.layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    return nn.layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+
+
+def forward(
+    params: dict,
+    cfg: GPT2Config,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: jnp.ndarray | None = None,
+    policy: Policy = F32,
+) -> jnp.ndarray:
+    """Full-sequence causal LM forward over embeddings → logits (B, T, V)."""
+    x = forward_hidden(params, cfg, inputs_embeds, attention_mask, policy)
     logits = jnp.dot(
         policy.cast(x),
         params["wte"].T.astype(policy.compute_dtype),

@@ -90,3 +90,53 @@ def test_attention_xla_vs_manual():
     w = w / w.sum(-1, keepdims=True)
     want = np.einsum("bhqk,bhkd->bhqd", w, np.asarray(v))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Vocab-chunked cross-entropy (ops/xent.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("chunk", [7, 64, 293, 500])
+def test_xent_sum_matches_dense_oracle(chunk):
+    """Chunked value + dh + dwte == the dense logsumexp formulation, across
+    chunk sizes below/at/above the vocab size (tail masking included)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpt2_image_captioning_tpu.ops.xent import xent_sum
+
+    rng = np.random.default_rng(0)
+    n, d, v = 18, 16, 293
+    h = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    wte = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    labels[::5] = -100  # ignore rows
+    labels = jnp.asarray(labels)
+
+    def dense(h, wte):
+        logits = (h @ wte.T).astype(jnp.float32)
+        valid = labels != -100
+        safe = jnp.where(valid, labels, 0)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+        return jnp.sum((logz - gold) * valid)
+
+    want, (dh_w, dw_w) = jax.value_and_grad(dense, argnums=(0, 1))(h, wte)
+    got, (dh_g, dw_g) = jax.value_and_grad(
+        lambda h, w: xent_sum(h, w, labels, chunk), argnums=(0, 1)
+    )(h, wte)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dh_g), np.asarray(dh_w), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_g), np.asarray(dw_w), atol=1e-5, rtol=1e-5)
+
+
+def test_xent_sum_all_ignored_is_zero():
+    import jax.numpy as jnp
+
+    from gpt2_image_captioning_tpu.ops.xent import xent_sum
+
+    h = jnp.ones((4, 8))
+    wte = jnp.ones((11, 8))
+    labels = jnp.full((4,), -100, jnp.int32)
+    assert float(xent_sum(h, wte, labels, 4)) == 0.0
