@@ -165,7 +165,13 @@ def loss_fn(
         [jnp.ones((b, p_len), dtype=batch["attention_mask"].dtype), batch["attention_mask"]],
         axis=1,
     )
-    hidden = G.forward_hidden(gpt_params, cfg.gpt2, inputs, mask, policy)
+    # python-unrolled layers when the decoder is frozen: grad tracing then
+    # skips the unused weight-gradient matmuls that scan's transpose would
+    # compute and discard (docs/PERF_NOTES.md round 2)
+    hidden = G.forward_hidden(
+        gpt_params, cfg.gpt2, inputs, mask, policy,
+        unroll_layers=cfg.freeze_gpt_weights,
+    )
     # shifted next-token CE via the vocab-chunked op (ops/xent.py) — the
     # (B·T, V) logits/softmax never materialize and the backward is
     # scatter-free; numerics match G.cross_entropy_loss (the test oracle)

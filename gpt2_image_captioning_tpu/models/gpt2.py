@@ -162,21 +162,33 @@ def forward_hidden(
     inputs_embeds: jnp.ndarray,
     attention_mask: jnp.ndarray | None = None,
     policy: Policy = F32,
+    unroll_layers: bool = False,
 ) -> jnp.ndarray:
     """Full-sequence causal forward → final-LayerNorm hidden states (B, T, D).
 
     ``attention_mask`` is the HF-style key padding mask (B, T), 1 = attend.
     Position embeddings are absolute from 0 (HF's default when only
-    ``inputs_embeds`` is given).  Layers run under ``lax.scan``.
+    ``inputs_embeds`` is given).
+
+    ``unroll_layers=False`` runs the layer loop as a ``lax.scan`` (O(1) trace
+    size in depth).  ``unroll_layers=True`` uses a python loop: under
+    ``jax.grad`` with a FROZEN decoder, partial evaluation then drops the
+    (unused) weight-gradient matmuls, which scan's transpose computes and
+    discards — use it for frozen-backbone training.
     """
     b, t, d = inputs_embeds.shape
     pos = params["wpe"][:t].astype(jnp.float32)
     x = (inputs_embeds.astype(jnp.float32) + pos[None]).astype(policy.compute_dtype)
 
-    def body(x, bp):
-        return _block(bp, cfg, x, key_mask=attention_mask, policy=policy), None
+    if unroll_layers:
+        for i in range(cfg.n_layer):
+            bp = jax.tree.map(lambda p: p[i], params["blocks"])
+            x = _block(bp, cfg, x, key_mask=attention_mask, policy=policy)
+    else:
+        def body(x, bp):
+            return _block(bp, cfg, x, key_mask=attention_mask, policy=policy), None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+        x, _ = jax.lax.scan(body, x, params["blocks"])
     return nn.layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
 
 
