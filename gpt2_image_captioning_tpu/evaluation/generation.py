@@ -86,38 +86,51 @@ def generate_predictions(
 
         sharding = batch_sharding(mesh)
         shard = lambda emb: jax.device_put(np.asarray(emb), sharding)
+    packed = None
+    if (
+        decode != "beam"
+        and temperature == 0.0
+        and mesh is None
+        and C.DS.fused_greedy_enabled(model.cfg.gpt2, dec_pol, None)
+    ):
+        # pre-tile the weights for the fused decode kernel once per eval pass
+        packed = C.prepare_decode_weights(dec_tr, dec_fz, model.cfg, dec_pol)
+
+    def dispatch(i, batch):
+        if decode == "beam":
+            return C.beam_generate(
+                dec_tr, dec_fz, model.cfg, batch["image_embedding"],
+                max_length=max_length, beam_size=beam_size, policy=dec_pol,
+                mesh=mesh,
+            )
+        return C.generate(
+            dec_tr, dec_fz, model.cfg, batch["image_embedding"],
+            max_length=max_length, temperature=temperature, top_p=top_p,
+            rng=jax.random.fold_in(rng, i), policy=dec_pol, packed=packed,
+            mesh=mesh,
+        )
+
+    def consume(batch, ids):
+        captions = tokenizer.batch_decode(np.asarray(ids), skip_special_tokens=True)
+        for img_id, caption, valid in zip(batch["image_id"], captions, batch["valid"]):
+            if valid:
+                predictions.append({"image_id": int(img_id), "caption": caption})
+
+    # one-deep pipeline: while the device decodes batch i, the host BPE-decodes
+    # and collects batch i-1 (np.asarray is the sync point on this backend)
+    pending = None
     for i, batch in enumerate(dataset.unique_image_batches(batch_size)):
         if augment is not None:
             batch = dict(batch, image_embedding=augment(batch["image_embedding"]))
         if shard is not None:
             batch = dict(batch, image_embedding=shard(batch["image_embedding"]))
-        if decode == "beam":
-            ids = C.beam_generate(
-                dec_tr,
-                dec_fz,
-                model.cfg,
-                batch["image_embedding"],
-                max_length=max_length,
-                beam_size=beam_size,
-                policy=dec_pol,
-            )
-        else:
-            ids = C.generate(
-                dec_tr,
-                dec_fz,
-                model.cfg,
-                batch["image_embedding"],
-                max_length=max_length,
-                temperature=temperature,
-                top_p=top_p,
-                rng=jax.random.fold_in(rng, i),
-                policy=dec_pol,
-            )
-        captions = tokenizer.batch_decode(np.asarray(ids), skip_special_tokens=True)
-        for img_id, caption, valid in zip(batch["image_id"], captions, batch["valid"]):
-            if valid:
-                predictions.append({"image_id": int(img_id), "caption": caption})
+        ids = dispatch(i, batch)
+        if pending is not None:
+            consume(*pending)
+        pending = (batch, ids)
         n_batches += 1
+    if pending is not None:
+        consume(*pending)
     if verbose:
         dt = time.perf_counter() - t0
         print(
