@@ -174,9 +174,14 @@ def loss_fn(
     )
     # shifted next-token CE via the vocab-chunked op (ops/xent.py) — the
     # (B·T, V) logits/softmax never materialize and the backward is
-    # scatter-free; numerics match G.cross_entropy_loss (the test oracle)
-    h2 = policy.cast(hidden[:, :-1, :]).reshape(-1, hidden.shape[-1])
-    lab2 = labels[:, 1:].reshape(-1)
+    # scatter-free; numerics match G.cross_entropy_loss (the test oracle).
+    # The first p_len-1 shifted positions predict prefix tokens, whose labels
+    # are -100 BY CONSTRUCTION above — slice them off statically (identical
+    # nll and gradients: ignored rows contribute 0 to both) so the vocab
+    # matmuls run over caption positions only (~22% fewer rows at the
+    # flagship shape).
+    h2 = policy.cast(hidden[:, p_len - 1 : -1, :]).reshape(-1, hidden.shape[-1])
+    lab2 = labels[:, p_len:].reshape(-1)
     nll = xent_sum(h2, gpt_params["wte"].astype(policy.compute_dtype), lab2)
     return nll, jnp.sum(lab2 != IGNORE_INDEX)
 
