@@ -3,7 +3,7 @@
 PERF_NOTES round-2 accounting: at b=128/len50 the pipelined decode batch is
 ~44 ms of which ~13.2 ms is a per-batch fixed cost ("prefill"), ~2.4x above
 its FLOP floor.  This script splits that fixed cost into its parts on the
-real chip so the round-3 optimization targets the right term:
+real chip so the optimization targets the right term:
 
   A. mapper forward (build_prefix)                      — floor ~1.8 ms
   B. init_cache zeros + GPT prefill fwd (scan path)     — floor ~2.1 ms
@@ -11,17 +11,30 @@ real chip so the round-3 optimization targets the right term:
   D. B but WITHOUT cache writes (forward_hidden only)   — isolates cache cost
   E. one fused decode step in isolation (marginal sanity)
   F. generate() at max_length = 1 / 10 / 50             — intercept check
+  G. empty jit dispatch+sync                            — tunnel floor
 
-Run DETACHED on the real chip (one TPU process at a time):
-  cd /root/repo && PYTHONPATH=. nohup python scripts/prefill_ab.py \
-      > /tmp/prefill_ab.log 2>&1 &
+Timing notes: every measured computation is ONE jitted function created once
+(module scope) and reused — a fresh ``jax.jit`` wrapper per rep would retrace
+each call.  All jits fold their outputs to scalars so the D2H sync moves no
+real data.  Single-op eager dispatches are avoided (each costs a full tunnel
+roundtrip).  Run alone on an idle box — pytest on the single CPU core
+inflates every dispatch by ~25 ms.
+
+Run DETACHED on the real chip (one TPU process at a time; do not override
+PYTHONPATH — /root/.axon_site must stay on it):
+  cd /root/repo && setsid nohup python -u scripts/prefill_ab.py \
+      > /tmp/prefill_ab.log 2>&1 < /dev/null & disown
 """
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timeit(fn, reps=7, warm=3):
@@ -59,20 +72,33 @@ def main() -> None:
         np.random.default_rng(0).normal(size=(batch, 512)).astype(np.float32)
     )
     packed = C.prepare_decode_weights(trainable, frozen, ccfg, policy=policy)
-    np.asarray(jax.tree.leaves(packed)[0])  # materialize
+    np.asarray(jax.tree.leaves(packed)[0][0, 0])  # materialize
 
-    # --- A: mapper ---------------------------------------------------------
+    # --- G: dispatch floor ---------------------------------------------------
     @jax.jit
-    def mapper(tr, e):
-        return C.build_prefix(tr, ccfg, e, policy)
+    def empty(x):
+        return x + 1
 
-    a = timeit(lambda: mapper(trainable, emb)[:, 0, 0])
+    one = jnp.zeros((), jnp.int32)
+    g_t = timeit(lambda: empty(one))
+    print(f"G  empty jit dispatch+sync               : {g_t:7.2f} ms", flush=True)
+
+    # --- A: mapper -----------------------------------------------------------
+    @jax.jit
+    def mapper_s(tr, e):
+        return C.build_prefix(tr, ccfg, e, policy)[:, 0, 0].astype(jnp.float32)[0]
+
+    a = timeit(lambda: mapper_s(trainable, emb))
     print(f"A  mapper (build_prefix)                 : {a:7.2f} ms", flush=True)
 
-    # --- B/C: cache init + prefill -----------------------------------------
+    # --- B/C: cache init + prefill -------------------------------------------
     p_len = ccfg.total_prefix_length
-    prefix = np.asarray(mapper(trainable, emb))
-    prefix_d = jnp.asarray(prefix)
+
+    @jax.jit
+    def mapper_full(tr, e):
+        return C.build_prefix(tr, ccfg, e, policy)
+
+    prefix_d = jax.block_until_ready(mapper_full(trainable, emb))
 
     def make_prefill(unroll):
         @jax.jit
@@ -89,12 +115,14 @@ def main() -> None:
 
         return prefill
 
-    b_t = timeit(lambda: make_prefill(False)(frozen["gpt"], prefix_d))
+    prefill_scan = make_prefill(False)
+    prefill_unroll = make_prefill(True)
+    b_t = timeit(lambda: prefill_scan(frozen["gpt"], prefix_d))
     print(f"B  init_cache + prefill (scan)           : {b_t:7.2f} ms", flush=True)
-    c_t = timeit(lambda: make_prefill(True)(frozen["gpt"], prefix_d))
+    c_t = timeit(lambda: prefill_unroll(frozen["gpt"], prefix_d))
     print(f"C  init_cache + prefill (unroll)         : {c_t:7.2f} ms", flush=True)
 
-    # --- D: prefill compute without any cache ------------------------------
+    # --- D: prefill compute without any cache --------------------------------
     @jax.jit
     def fwd_only(gpt, pfx):
         h = G.forward_hidden(gpt, gcfg, pfx, None, policy)
@@ -108,11 +136,10 @@ def main() -> None:
     d_t = timeit(lambda: fwd_only(frozen["gpt"], prefix_d))
     print(f"D  prefill fwd, no cache writes          : {d_t:7.2f} ms", flush=True)
 
-    # --- E: one fused decode step in isolation -----------------------------
+    # --- E: one fused decode step in isolation --------------------------------
     from gpt2_image_captioning_tpu.ops import decode_step as DS
 
     cache = G.init_cache(gcfg, batch, p_len + max_len, dtype=policy.compute_dtype)
-    tpad = cache["k"].shape[1]
     rng = np.random.default_rng(1)
     kc = jnp.asarray(rng.normal(size=cache["k"].shape).astype(np.float32)).astype(
         policy.compute_dtype
@@ -135,7 +162,7 @@ def main() -> None:
     e_t = timeit(lambda: one_step(packed, x0, kc, vc))
     print(f"E  one fused step (idx=40, call-sync)    : {e_t:7.2f} ms", flush=True)
 
-    # --- F: generate() intercept -------------------------------------------
+    # --- F: generate() intercept ----------------------------------------------
     for ml in (1, 10, 50):
         def gen(ml=ml):
             return C.generate(
