@@ -260,45 +260,78 @@ def generate(
     tokens0 = jnp.full((b, max_length), eos, dtype=jnp.int32)
     finished0 = jnp.zeros((b,), dtype=bool)
 
-    if (
-        temperature == 0.0
-        and mesh is None  # the fused kernel is single-device; GSPMD can't split it
-        and DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode)
-    ):
+    # dp-only meshes keep the fused kernel: shard_map splits the batch and
+    # each device runs the single-device kernel on its shard (per-shard EOS
+    # early exit included).  tp>1 falls through to the GSPMD XLA path (the
+    # kernel's weight walk can't be partitioned).
+    fused_ok = temperature == 0.0 and DS.fused_greedy_enabled(
+        cfg.gpt2, policy, use_pallas_decode
+    )
+    dp_fused = (
+        mesh is not None
+        and mesh.shape.get("tp", 1) == 1
+        and b % mesh.shape.get("dp", 1) == 0
+    )
+    if fused_ok and (mesh is None or dp_fused):
         # The flagship serving path: ONE Pallas kernel per decode step runs
         # all layers + cached attention + logits argmax (ops/decode_step.py).
         if packed is None:
             packed = DS.pack_decode_weights(gpt_params, policy.compute_dtype)
-        nxt0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        finished0 = nxt0 == eos
-        tokens0 = tokens0.at[:, 0].set(nxt0)
 
-        def f_cond(state):
-            step, _, _, finished, _, _, _ = state
-            return jnp.logical_and(step < max_length, jnp.logical_not(jnp.all(finished)))
+        def fused_loop(wte, wpe, packed, logits, k_c0, v_c0, index0):
+            bs = logits.shape[0]
+            nxt0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            finished0 = nxt0 == eos
+            toks0 = jnp.full((bs, max_length), eos, dtype=jnp.int32).at[:, 0].set(nxt0)
 
-        def f_body(state):
-            step, tokens, prev, finished, k_c, v_c, index = state
-            x0 = (
-                G.embed_tokens(gpt_params, prev[:, None])[:, 0]
-                + jax.lax.dynamic_slice_in_dim(gpt_params["wpe"], index, 1, 0)[0]
-            ).astype(policy.compute_dtype)
-            nxt, k_c, v_c = DS.fused_decode_step(
-                packed, x0, k_c, v_c, index, n_head=cfg.gpt2.n_head,
-                vocab=cfg.gpt2.vocab_size, eps=cfg.gpt2.layer_norm_epsilon,
+            def f_cond(state):
+                step, _, _, finished, _, _, _ = state
+                return jnp.logical_and(
+                    step < max_length, jnp.logical_not(jnp.all(finished))
+                )
+
+            def f_body(state):
+                step, tokens, prev, finished, k_c, v_c, index = state
+                x0 = (
+                    jnp.take(wte, prev, axis=0)
+                    + jax.lax.dynamic_slice_in_dim(wpe, index, 1, 0)[0]
+                ).astype(policy.compute_dtype)
+                nxt, k_c, v_c = DS.fused_decode_step(
+                    packed, x0, k_c, v_c, index, n_head=cfg.gpt2.n_head,
+                    vocab=cfg.gpt2.vocab_size, eps=cfg.gpt2.layer_norm_epsilon,
+                )
+                finished = jnp.logical_or(finished, nxt == eos)
+                nxt = jnp.where(finished, eos, nxt)
+                tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
+                return step + 1, tokens, nxt, finished, k_c, v_c, index + 1
+
+            _, tokens, _, _, _, _, _ = jax.lax.while_loop(
+                f_cond,
+                f_body,
+                (jnp.ones((), jnp.int32), toks0, nxt0, finished0, k_c0, v_c0, index0),
             )
-            finished = jnp.logical_or(finished, nxt == eos)
-            nxt = jnp.where(finished, eos, nxt)
-            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
-            return step + 1, tokens, nxt, finished, k_c, v_c, index + 1
+            return tokens
 
-        _, tokens, _, _, _, _, _ = jax.lax.while_loop(
-            f_cond,
-            f_body,
-            (jnp.ones((), jnp.int32), tokens0, nxt0, finished0,
-             cache["k"], cache["v"], cache["index"]),
+        wte, wpe = gpt_params["wte"], gpt_params["wpe"]
+        if mesh is None:
+            return fused_loop(
+                wte, wpe, packed, logits, cache["k"], cache["v"], cache["index"]
+            )
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        fn = shard_map(
+            fused_loop,
+            mesh=mesh,
+            in_specs=(
+                _P(), _P(), jax.tree.map(lambda _: _P(), packed),
+                _P("dp", None),
+                _P(None, None, "dp", None), _P(None, None, "dp", None), _P(),
+            ),
+            out_specs=_P("dp", None),
+            check_vma=False,
         )
-        return tokens
+        return fn(wte, wpe, packed, logits, cache["k"], cache["v"], cache["index"])
 
     def cond(state):
         step, _, _, finished, _, _ = state
