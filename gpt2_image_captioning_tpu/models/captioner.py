@@ -264,9 +264,8 @@ def generate(
     # each device runs the single-device kernel on its shard (per-shard EOS
     # early exit included).  tp>1 falls through to the GSPMD XLA path (the
     # kernel's weight walk can't be partitioned).
-    fused_ok = temperature == 0.0 and DS.fused_greedy_enabled(
-        cfg.gpt2, policy, use_pallas_decode
-    )
+    fused_enabled = DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode)
+    fused_ok = temperature == 0.0 and fused_enabled
     dp_fused = (
         mesh is not None
         and mesh.shape.get("tp", 1) == 1
@@ -332,6 +331,50 @@ def generate(
             check_vma=False,
         )
         return fn(wte, wpe, packed, logits, cache["k"], cache["v"], cache["index"])
+
+    if temperature != 0.0 and fused_enabled and mesh is None:
+        # Sampled decode on the same one-kernel-per-step serving path: the
+        # kernel emits full logits (streamed to HBM, ~16 µs at b=128) and the
+        # temperature/top-p/categorical selection runs outside in XLA —
+        # identical sampling semantics (same rng folding) as the layerwise
+        # path below.  Under a mesh this falls through to GSPMD: a per-shard
+        # categorical would draw different noise than the global one, so the
+        # sharded sampled path keeps the XLA loop for mesh-size invariance.
+        if packed is None:
+            packed = DS.pack_decode_weights(gpt_params, policy.compute_dtype)
+        wte, wpe = gpt_params["wte"], gpt_params["wpe"]
+
+        def fs_cond(state):
+            step, _, _, finished, _, _, _, _ = state
+            return jnp.logical_and(step < max_length, jnp.logical_not(jnp.all(finished)))
+
+        def fs_body(state):
+            step, tokens, logits, finished, k_c, v_c, index, rng = state
+            step_rng = jax.random.fold_in(rng, step)
+            nxt = sample_token(logits, temperature=temperature, top_p=top_p, rng=step_rng)
+            finished = jnp.logical_or(finished, nxt == eos)
+            nxt = jnp.where(finished, eos, nxt)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
+            x0 = (
+                jnp.take(wte, nxt, axis=0)
+                + jax.lax.dynamic_slice_in_dim(wpe, index, 1, 0)[0]
+            ).astype(policy.compute_dtype)
+            logits, k_c, v_c = DS.fused_decode_step(
+                packed, x0, k_c, v_c, index, n_head=cfg.gpt2.n_head,
+                vocab=cfg.gpt2.vocab_size, eps=cfg.gpt2.layer_norm_epsilon,
+                emit_logits=True,
+            )
+            return step + 1, tokens, logits, finished, k_c, v_c, index + 1, rng
+
+        _, tokens, _, _, _, _, _, _ = jax.lax.while_loop(
+            fs_cond,
+            fs_body,
+            (
+                jnp.zeros((), jnp.int32), tokens0, logits.astype(jnp.float32),
+                finished0, cache["k"], cache["v"], cache["index"], rng,
+            ),
+        )
+        return tokens
 
     def cond(state):
         step, _, _, finished, _, _ = state
@@ -430,6 +473,12 @@ def beam_generate(
     finished0 = jnp.zeros((b, k), dtype=bool)
     lengths0 = jnp.zeros((b, k), dtype=jnp.int32)
 
+    # single-device beam search rides the fused whole-step kernel in
+    # emit_logits mode (one pallas_call per step over the B·K rows); the beam
+    # bookkeeping + cache gather stay in XLA between steps
+    fused = DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode) and mesh is None
+    packed = DS.pack_decode_weights(gpt_params, policy.compute_dtype) if fused else None
+
     def step_fn(carry, step):
         scores, tokens, finished, lengths, logits, cache = carry
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
@@ -463,13 +512,30 @@ def beam_generate(
             v=cache["v"][:, :, flat_parent],
         )
 
-        embed = G.embed_tokens(gpt_params, tok.reshape(b * k, 1)).astype(policy.compute_dtype)
-        logits, cache = G.forward_cached(
-            gpt_params, cfg.gpt2, embed, cache, policy,
-            unroll=True, use_pallas_decode=use_pallas_decode,
-        )
+        if fused:
+            idx = cache["index"]
+            x0 = (
+                jnp.take(gpt_params["wte"], tok.reshape(b * k), axis=0)
+                + jax.lax.dynamic_slice_in_dim(gpt_params["wpe"], idx, 1, 0)[0]
+            ).astype(policy.compute_dtype)
+            logits, kc, vc = DS.fused_decode_step(
+                packed, x0, cache["k"], cache["v"], idx, n_head=cfg.gpt2.n_head,
+                vocab=cfg.gpt2.vocab_size, eps=cfg.gpt2.layer_norm_epsilon,
+                emit_logits=True,
+            )
+            cache = {"k": kc, "v": vc, "index": idx + 1}
+        else:
+            embed = G.embed_tokens(gpt_params, tok.reshape(b * k, 1)).astype(
+                policy.compute_dtype
+            )
+            logits, cache = G.forward_cached(
+                gpt_params, cfg.gpt2, embed, cache, policy,
+                unroll=True, use_pallas_decode=use_pallas_decode,
+            )
         return (new_scores, tokens, newly_finished, lengths, logits, cache), None
 
+    if fused:
+        logits = logits.astype(jnp.float32)  # scan carry dtype must match
     carry = (scores0, tokens0, finished0, lengths0, logits, cache)
     (scores, tokens, finished, lengths, _, _), _ = jax.lax.scan(
         step_fn, carry, jnp.arange(max_length)
@@ -541,7 +607,7 @@ class ImageCaptioningModel:
         see docs/PERF_NOTES.md).  Default keeps full f32 reference parity."""
         tr, fz, pol = self.decode_params(decode_precision)
         packed = None
-        if temperature == 0.0 and DS.fused_greedy_enabled(self.cfg.gpt2, pol, None):
+        if DS.fused_greedy_enabled(self.cfg.gpt2, pol, None):
             # cache the kernel's pre-tiled weights, keyed on weight identity
             cache = getattr(self, "_packed_cache", None)
             if cache is None or cache[0] is not tr or cache[1] is not fz or cache[2] is not pol:

@@ -87,7 +87,8 @@ def _step_kernel(
     kc_in, vc_in,  # (L, Tpad, B, D) caches — aliased to the outputs below;
     #                all access goes through the out refs
     # outputs
-    tok_ref,    # (BB, 1) int32
+    tok_ref,    # (BB, 1) int32 — or, when emit_logits, (NT_v, BP, VW) f32
+    #             logits tiles in HBM (written by DMA, reassembled outside)
     kc_ref, vc_ref,  # aliased caches (HBM): rows < idx read, row idx written
     #                  in place (T is NOT a tiled dim in this layout, so the
     #                  1-row write DMA is legal)
@@ -96,7 +97,8 @@ def _step_kernel(
     vwbuf,      # (2, D, VW) compute dtype — logits tile buffer
     kbuf, vbuf,  # (2, CT, BB, D) cache dtype
     knbuf, vnbuf,  # (BB, D) cache dtype — staging for the row writes
-    wsem, vwsem, ksem, vsem, wrsem,
+    lbuf,       # (2, BB, VW) f32 — logits DMA staging (emit_logits only)
+    wsem, vwsem, ksem, vsem, wrsem, lsem,
     *,
     n_layer: int,
     d: int,
@@ -107,6 +109,7 @@ def _step_kernel(
     vw: int,
     vocab: int,
     eps: float,
+    emit_logits: bool,
 ):
     bi = pl.program_id(0)
     bb = x_ref.shape[0]
@@ -270,22 +273,47 @@ def _step_kernel(
         return pltpu.make_async_copy(wtet_ref.at[t], vwbuf.at[slot], vwsem.at[slot])
 
     vdma(0, 0).start()
-    run_max = jnp.full((bb, 1), NEG_INF, jnp.float32)
-    run_idx = jnp.zeros((bb, 1), jnp.int32)
-    big = jnp.int32(2**30)
-    for t in range(nv):
-        if t + 1 < nv:
-            vdma((t + 1) % 2, t + 1).start()
-        vdma(t % 2, t).wait()
-        logits = jnp.dot(xf, vwbuf[t % 2], preferred_element_type=jnp.float32)
-        col = t * vw + jax.lax.broadcasted_iota(jnp.int32, (bb, vw), 1)
-        logits = jnp.where(col < vocab, logits, NEG_INF)
-        bm = jnp.max(logits, axis=1, keepdims=True)
-        bidx = jnp.min(jnp.where(logits == bm, col, big), axis=1, keepdims=True)
-        upd = bm > run_max
-        run_idx = jnp.where(upd, bidx, run_idx)
-        run_max = jnp.where(upd, bm, run_max)
-    tok_ref[...] = run_idx
+    if emit_logits:
+        # stream full logits tiles to HBM: compute tile t into the staging
+        # buffer, DMA it out to tok_ref[t, bi·bb : bi·bb+bb, :] (contiguous in
+        # the (NT_v, BP, VW) tile layout), double-buffered so tile t+1's
+        # matmul overlaps tile t's write.  Padded vocab columns carry NEG_INF
+        # so downstream softmax/top-p ignores them.
+        out_dmas = [None, None]
+        for t in range(nv):
+            if t + 1 < nv:
+                vdma((t + 1) % 2, t + 1).start()
+            vdma(t % 2, t).wait()
+            slot = t % 2
+            if out_dmas[slot] is not None:
+                out_dmas[slot].wait()
+            logits = jnp.dot(xf, vwbuf[slot], preferred_element_type=jnp.float32)
+            col = t * vw + jax.lax.broadcasted_iota(jnp.int32, (bb, vw), 1)
+            lbuf[slot, :, :] = jnp.where(col < vocab, logits, NEG_INF)
+            out_dmas[slot] = pltpu.make_async_copy(
+                lbuf.at[slot], tok_ref.at[t, pl.ds(bi * bb, bb), :], lsem.at[slot]
+            )
+            out_dmas[slot].start()
+        for dma in out_dmas:
+            if dma is not None:
+                dma.wait()
+    else:
+        run_max = jnp.full((bb, 1), NEG_INF, jnp.float32)
+        run_idx = jnp.zeros((bb, 1), jnp.int32)
+        big = jnp.int32(2**30)
+        for t in range(nv):
+            if t + 1 < nv:
+                vdma((t + 1) % 2, t + 1).start()
+            vdma(t % 2, t).wait()
+            logits = jnp.dot(xf, vwbuf[t % 2], preferred_element_type=jnp.float32)
+            col = t * vw + jax.lax.broadcasted_iota(jnp.int32, (bb, vw), 1)
+            logits = jnp.where(col < vocab, logits, NEG_INF)
+            bm = jnp.max(logits, axis=1, keepdims=True)
+            bidx = jnp.min(jnp.where(logits == bm, col, big), axis=1, keepdims=True)
+            upd = bm > run_max
+            run_idx = jnp.where(upd, bidx, run_idx)
+            run_max = jnp.where(upd, bm, run_max)
+        tok_ref[...] = run_idx
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +321,8 @@ def _step_kernel(
 # ---------------------------------------------------------------------------
 
 def fused_greedy_enabled(gpt_cfg, policy, use_pallas_decode: bool | None) -> bool:
-    """Dispatch for the fused whole-step greedy decode.
+    """Dispatch for the fused whole-step decode (greedy argmax mode and the
+    ``emit_logits`` sampling/beam mode share this gate).
 
     Default on TPU with bf16 compute (the serving configuration — f32 at the
     full 768-wide model would double every VMEM buffer past budget); tiny
@@ -385,13 +414,21 @@ def fused_decode_step(
     vocab: int,
     eps: float = 1e-5,
     interpret: bool = False,
+    emit_logits: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One fused greedy decode step.
+    """One fused decode step.
 
     x0: (B, D) input embeddings (token embed + position embed) in the compute
     dtype; caches (L, Tpad, B, D) with rows [0, idx) valid.  Returns
     (next_token (B,) int32, k_cache', v_cache') with the new K/V rows written
     at ``idx`` (in place — caches are donated/aliased).
+
+    ``emit_logits=True`` returns ``(logits (B, vocab) f32, k_cache',
+    v_cache')`` instead of the greedy token: the in-kernel argmax is replaced
+    by a streamed HBM write of the logits tiles (~13 MB at b=128, ~16 µs —
+    negligible next to the weight walk), so temperature/top-p sampling and
+    beam search can run the same one-kernel-per-step serving path with the
+    token selection done outside in XLA.
     """
     from gpt2_image_captioning_tpu.ops.decode_attention import _head_sum_matrix
 
@@ -425,7 +462,9 @@ def fused_decode_step(
         vw=vw,
         vocab=vocab,
         eps=eps,
+        emit_logits=emit_logits,
     )
+    nv = packed["wtet"].shape[0]
 
     def vm(shape):  # VMEM full-block spec, replicated over the batch grid
         return pl.BlockSpec(shape, lambda bi, s: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
@@ -455,7 +494,9 @@ def fused_decode_step(
             pl.BlockSpec(memory_space=pl.ANY),  # v_cache
         ],
         out_specs=(
-            pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY)
+            if emit_logits
+            else pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
@@ -466,6 +507,8 @@ def fused_decode_step(
             pltpu.VMEM((2, ct, bb, d), v_cache.dtype),
             pltpu.VMEM((bb, d), k_cache.dtype),
             pltpu.VMEM((bb, d), v_cache.dtype),
+            pltpu.VMEM((2, bb, vw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -477,7 +520,9 @@ def fused_decode_step(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nv, bp, vw), jnp.float32)
+            if emit_logits
+            else jax.ShapeDtypeStruct((bp, 1), jnp.int32),
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
@@ -495,7 +540,10 @@ def fused_decode_step(
         k_cache, v_cache,
     )
     if pad_b:
-        tok = tok[:b]
         kc = kc[:, :, :b]
         vc = vc[:, :, :b]
-    return tok[:, 0], kc, vc
+    if emit_logits:
+        # (NT_v, BP, VW) tiles → (B, vocab); padded cols hold NEG_INF anyway
+        logits = jnp.moveaxis(tok, 0, 1).reshape(bp, nv * vw)[:b, :vocab]
+        return logits, kc, vc
+    return tok[:b, 0], kc, vc

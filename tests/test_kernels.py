@@ -295,6 +295,108 @@ def test_fused_decode_step_matches_forward_cached():
         )
 
 
+def test_fused_decode_step_emit_logits_matches_forward_cached():
+    """Interpret mode: emit_logits returns the full (B, vocab) logits equal to
+    the layerwise forward_cached path (and the same cache update)."""
+    from gpt2_image_captioning_tpu.models import gpt2
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+    cfg = gpt2.GPT2Config(vocab_size=293, n_positions=128, n_embd=32, n_layer=2, n_head=2)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    b, p_len = 3, 5
+    prefix = jnp.asarray(rng.normal(size=(b, p_len, cfg.n_embd)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, b, p_len + 4)
+    logits0, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32)
+
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    cache_f = dict(cache)
+    for _ in range(3):
+        emb = gpt2.embed_tokens(params, tok[:, None])
+        want_logits, cache = gpt2.forward_cached(
+            params, cfg, emb, cache, use_pallas_decode=False
+        )
+
+        idx = cache_f["index"]
+        x0 = gpt2.embed_tokens(params, tok[:, None])[:, 0] + params["wpe"][idx]
+        got_logits, kc, vc = DS.fused_decode_step(
+            packed, x0.astype(jnp.float32), cache_f["k"], cache_f["v"], idx,
+            n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+            emit_logits=True,
+        )
+        cache_f = {"k": kc, "v": vc, "index": idx + 1}
+        assert got_logits.shape == (b, cfg.vocab_size)
+        np.testing.assert_allclose(
+            np.asarray(want_logits[:, 0] if want_logits.ndim == 3 else want_logits),
+            np.asarray(got_logits), atol=1e-4, rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cache["k"]), np.asarray(kc), atol=1e-6, rtol=1e-6
+        )
+        tok = jnp.argmax(got_logits, axis=-1).astype(jnp.int32)
+
+
+def test_generate_fused_sampled_matches_xla_path():
+    """End-to-end generate() with temperature/top-p sampling: the fused
+    emit_logits path == the per-layer XLA path token-for-token under the same
+    rng (sampling runs outside the kernel with identical rng folding)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    gcfg = G.GPT2Config(vocab_size=293, n_positions=64, n_embd=32, n_layer=2, n_head=2)
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=16, gpt_dim=32)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=292)
+    trainable, frozen = C.init_params(jax.random.PRNGKey(3), ccfg)
+    emb = jnp.asarray(np.random.default_rng(5).normal(size=(4, 16)).astype(np.float32))
+
+    for temperature, top_p in [(0.8, 0.9), (1.0, 1.0)]:
+        key = jax.random.PRNGKey(11)
+        want = C.generate(
+            trainable, frozen, ccfg, emb, max_length=10,
+            temperature=temperature, top_p=top_p, rng=key,
+            use_pallas_decode=False,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = C.generate(
+                trainable, frozen, ccfg, emb, max_length=10,
+                temperature=temperature, top_p=top_p, rng=key,
+                use_pallas_decode=True,
+            )
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_beam_generate_fused_matches_xla_path():
+    """Beam search on the fused emit_logits kernel == the per-layer XLA beam
+    path (same best-beam tokens): the kernel only replaces the per-step
+    forward; beam bookkeeping and the cache gather are shared XLA code."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    gcfg = G.GPT2Config(vocab_size=293, n_positions=64, n_embd=32, n_layer=2, n_head=2)
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=16, gpt_dim=32)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=292)
+    trainable, frozen = C.init_params(jax.random.PRNGKey(3), ccfg)
+    emb = jnp.asarray(np.random.default_rng(9).normal(size=(3, 16)).astype(np.float32))
+
+    want = C.beam_generate(
+        trainable, frozen, ccfg, emb, max_length=8, beam_size=3,
+        use_pallas_decode=False,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = C.beam_generate(
+            trainable, frozen, ccfg, emb, max_length=8, beam_size=3,
+            use_pallas_decode=True,
+        )
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
 def test_generate_fused_greedy_matches_reference_loop():
     """End-to-end generate(): fused whole-step path == per-layer XLA path,
     token-for-token, including EOS forcing and early exit."""
