@@ -35,7 +35,7 @@ from gpt2_image_captioning_tpu.core.precision import F32, Policy
 from gpt2_image_captioning_tpu.models import gpt2 as G
 from gpt2_image_captioning_tpu.models import mapping as M
 from gpt2_image_captioning_tpu.ops import decode_step as DS
-from gpt2_image_captioning_tpu.ops.sampling import sample_token
+from gpt2_image_captioning_tpu.ops.sampling import sample_token, topk_small
 from gpt2_image_captioning_tpu.ops.xent import xent_sum
 
 IGNORE_INDEX = -100
@@ -473,10 +473,17 @@ def beam_generate(
     finished0 = jnp.zeros((b, k), dtype=bool)
     lengths0 = jnp.zeros((b, k), dtype=jnp.int32)
 
-    # single-device beam search rides the fused whole-step kernel in
+    # single-device beam search can ride the fused whole-step kernel in
     # emit_logits mode (one pallas_call per step over the B·K rows); the beam
-    # bookkeeping + cache gather stay in XLA between steps
-    fused = DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode) and mesh is None
+    # bookkeeping + cache gather stay in XLA between steps.  Measured on-chip
+    # the step is bookkeeping-bound (fused 325 ms ≈ XLA 315 ms per b=32
+    # batch, docs/PERF_NOTES.md), so the fused forward is OPT-IN
+    # (use_pallas_decode=True) rather than the TPU default.
+    fused = (
+        use_pallas_decode is True
+        and DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode)
+        and mesh is None
+    )
     packed = DS.pack_decode_weights(gpt_params, policy.compute_dtype) if fused else None
 
     def step_fn(carry, step):
@@ -490,7 +497,9 @@ def beam_generate(
 
         cand = scores[..., None] + logp  # (B, K, V)
         flat = cand.reshape(b, k * v)
-        new_scores, flat_idx = jax.lax.top_k(flat, k)  # (B, K)
+        # k sequential masked argmaxes == lax.top_k incl. tie order, ~25x
+        # cheaper on TPU at small k (ops/sampling.py::topk_small)
+        new_scores, flat_idx = topk_small(flat, k)  # (B, K)
         parent = flat_idx // v  # (B, K) beam index
         tok = (flat_idx % v).astype(jnp.int32)  # (B, K)
 

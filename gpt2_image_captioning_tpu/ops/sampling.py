@@ -77,6 +77,27 @@ def top_p_filter_bisect(logits: jnp.ndarray, top_p: float, iters: int = 32) -> j
     return jnp.where(logits > lo, logits, NEG_INF)
 
 
+def topk_small(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``lax.top_k`` replacement for small static k via sequential masked
+    argmaxes.
+
+    ``lax.top_k`` on TPU pays a sorting-network cost even for tiny k — ~8 ms
+    for k=4 over (32, 201k) on v5e, ~25× the cost of k linear passes
+    (measured, scripts/beam_ab.py).  k argmax+mask rounds return exactly the
+    same (values, indices) as ``lax.top_k`` including tie order (both take
+    the lowest index first).  x: (..., n) float; returns ((..., k) values
+    descending, (..., k) int32 indices).
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0])
+        idxs.append(i)
+        x = jnp.where(col == i[..., None], NEG_INF, x)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def sample_token(
     logits: jnp.ndarray,
     *,

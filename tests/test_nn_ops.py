@@ -122,6 +122,23 @@ def test_sample_token_bisect_equals_sort_draws():
             np.testing.assert_array_equal(fast, exact)
 
 
+def test_topk_small_equals_lax_topk():
+    """Sequential masked argmax == lax.top_k (values AND indices, including
+    tie order) for small k."""
+    from gpt2_image_captioning_tpu.ops.sampling import topk_small
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(5, 400)).astype(np.float32)
+    x[0, 10] = x[0, 20] = x[0, 30] = 7.0  # exact ties
+    x[2, :] = 1.0  # fully tied row
+    xj = jnp.asarray(x)
+    for k in (1, 2, 4, 6):
+        wv, wi = jax.lax.top_k(xj, k)
+        gv, gi = topk_small(xj, k)
+        np.testing.assert_array_equal(np.asarray(wv), np.asarray(gv))
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(gi))
+
+
 def test_sample_token_distribution_matches_nucleus():
     """Empirical frequencies from the default (bisect) path match the nucleus
     distribution (sharp 3-token nucleus, 4000 draws)."""
