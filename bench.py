@@ -82,6 +82,26 @@ def main() -> None:
         np.asarray(ours())
     ours_latency_ms = (time.perf_counter() - t0) / 3 * 1000
 
+    # --- sampled decode (T=1.0, top_p=0.9) on the fused emit_logits path ---
+    skey = jax.random.PRNGKey(7)
+
+    def ours_sampled():
+        return C.generate(
+            trainable, frozen, ccfg, emb,
+            max_length=max_len, temperature=1.0, top_p=0.9, rng=skey,
+            policy=policy, packed=packed,
+        )
+
+    log("compiling sampled decode...")
+    np.asarray(ours_sampled())
+    np.asarray(ours_sampled())
+    t0 = time.perf_counter()
+    souts = [ours_sampled() for _ in range(reps)]
+    for o in souts:
+        np.asarray(o)
+    sampled_img_s = batch * reps / (time.perf_counter() - t0)
+    log(f"sampled decode: {sampled_img_s:.0f} img/s")
+
     # --- reference algorithm on the same chip: uncached O(L^2) decode ----
     # The reference's Python loop re-forwards the whole sequence every step
     # (src/models.py:389-395), so step t costs one full forward of length
@@ -194,6 +214,7 @@ def main() -> None:
                 },
                 "extras": {
                     "decode_batch_latency_ms_per_call_sync": round(ours_latency_ms, 1),
+                    "sampled_decode_top_p_img_s": round(sampled_img_s, 1),
                     "clip_vit_b32_encode_img_s": round(clip_img_s, 1),
                     "vs_reference_gpu_extraction_65_img_s": round(clip_img_s / 65.0, 1),
                     "train_step_captions_s_b128": round(train_caps_s, 1),

@@ -151,6 +151,22 @@ def main():
     if beam_toks.shape != greedy8.shape:
         failures.append("beam output shape")
 
+    # --- sampled decode: fused emit_logits vs XLA forward, on-chip ---------
+    log("sampled: fused emit_logits vs XLA path (T=0.9, top_p=0.9)...")
+    skey = jax.random.PRNGKey(13)
+    samp_fused = np.asarray(
+        C.generate(tr, fz, ccfg, emb, max_length=10, temperature=0.9, top_p=0.9,
+                   rng=skey, use_pallas_decode=True)
+    )
+    samp_xla = np.asarray(
+        C.generate(tr, fz, ccfg, emb, max_length=10, temperature=0.9, top_p=0.9,
+                   rng=skey, use_pallas_decode=False)
+    )
+    s_agree = (samp_fused == samp_xla).mean()
+    log(f"   sampled token agreement: {s_agree:.3f}")
+    if s_agree < 0.95:  # same rng; only logit near-ties can diverge
+        failures.append(f"sampled agreement {s_agree}")
+
     # --- last: Pallas flash attention, compiled on TPU ---------------------
 
     log("5/5 pallas flash attention vs XLA (compiled)...")
