@@ -102,6 +102,26 @@ def main() -> None:
     sampled_img_s = batch * reps / (time.perf_counter() - t0)
     log(f"sampled decode: {sampled_img_s:.0f} img/s")
 
+    # --- int8 W8A8 greedy decode (opt-in serving mode) --------------------
+    packed8 = C.prepare_decode_weights(trainable, frozen, ccfg, policy=policy, quant=True)
+
+    def ours_int8():
+        return C.generate(
+            trainable, frozen, ccfg, emb,
+            max_length=max_len, temperature=0.0, top_p=1.0, policy=policy,
+            packed=packed8, decode_quant=True,
+        )
+
+    log("compiling int8 decode...")
+    np.asarray(ours_int8())
+    np.asarray(ours_int8())
+    t0 = time.perf_counter()
+    iouts = [ours_int8() for _ in range(reps)]
+    for o in iouts:
+        np.asarray(o)
+    int8_img_s = batch * reps / (time.perf_counter() - t0)
+    log(f"int8 decode: {int8_img_s:.0f} img/s")
+
     # --- reference algorithm on the same chip: uncached O(L^2) decode ----
     # The reference's Python loop re-forwards the whole sequence every step
     # (src/models.py:389-395), so step t costs one full forward of length
@@ -215,6 +235,7 @@ def main() -> None:
                 "extras": {
                     "decode_batch_latency_ms_per_call_sync": round(ours_latency_ms, 1),
                     "sampled_decode_top_p_img_s": round(sampled_img_s, 1),
+                    "int8_decode_img_s": round(int8_img_s, 1),
                     "clip_vit_b32_encode_img_s": round(clip_img_s, 1),
                     "vs_reference_gpu_extraction_65_img_s": round(clip_img_s / 65.0, 1),
                     "train_step_captions_s_b128": round(train_caps_s, 1),

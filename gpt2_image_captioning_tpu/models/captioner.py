@@ -201,7 +201,7 @@ def mean_loss(
     jax.jit,
     static_argnames=(
         "cfg", "max_length", "temperature", "top_p", "policy", "unroll_decode",
-        "use_pallas_decode", "mesh",
+        "use_pallas_decode", "mesh", "decode_quant",
     ),
 )
 def generate(
@@ -219,6 +219,7 @@ def generate(
     use_pallas_decode: bool | None = None,
     packed: dict | None = None,
     mesh=None,
+    decode_quant: bool = False,
 ) -> jnp.ndarray:
     """Autoregressive caption generation → token ids (B, max_length).
 
@@ -275,7 +276,9 @@ def generate(
         # The flagship serving path: ONE Pallas kernel per decode step runs
         # all layers + cached attention + logits argmax (ops/decode_step.py).
         if packed is None:
-            packed = DS.pack_decode_weights(gpt_params, policy.compute_dtype)
+            packed = DS.pack_decode_weights(
+                gpt_params, policy.compute_dtype, quant=decode_quant
+            )
 
         def fused_loop(wte, wpe, packed, logits, k_c0, v_c0, index0):
             bs = logits.shape[0]
@@ -341,7 +344,9 @@ def generate(
         # categorical would draw different noise than the global one, so the
         # sharded sampled path keeps the XLA loop for mesh-size invariance.
         if packed is None:
-            packed = DS.pack_decode_weights(gpt_params, policy.compute_dtype)
+            packed = DS.pack_decode_weights(
+                gpt_params, policy.compute_dtype, quant=decode_quant
+            )
         wte, wpe = gpt_params["wte"], gpt_params["wpe"]
 
         def fs_cond(state):
@@ -400,15 +405,18 @@ def generate(
     return tokens
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "policy"))
+@functools.partial(jax.jit, static_argnames=("cfg", "policy", "quant"))
 def prepare_decode_weights(trainable: dict, frozen: dict, cfg: CaptionerConfig,
-                           policy: Policy = F32) -> dict:
+                           policy: Policy = F32, quant: bool = False) -> dict:
     """Pre-tile the GPT-2 weights for the fused greedy decode kernel.
 
     The fused step kernel streams weights as contiguous column tiles
     (ops/decode_step.py); this re-layout costs a few ms on device — compute
-    it once per weight set and pass to :func:`generate` as ``packed``."""
-    return DS.pack_decode_weights(_gpt(trainable, frozen), policy.compute_dtype)
+    it once per weight set and pass to :func:`generate` as ``packed``.
+    ``quant=True`` packs the int8 W8A8 serving tiles instead."""
+    return DS.pack_decode_weights(
+        _gpt(trainable, frozen), policy.compute_dtype, quant=quant
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -612,17 +620,28 @@ class ImageCaptioningModel:
         decode_precision: str | None = None,
     ) -> jnp.ndarray:
         """``decode_precision="bf16"`` stores the weights in bfloat16 for the
-        decode (half the HBM bytes/step → +25% throughput measured at b=128;
-        see docs/PERF_NOTES.md).  Default keeps full f32 reference parity."""
-        tr, fz, pol = self.decode_params(decode_precision)
+        decode (half the HBM bytes/step → +25% throughput measured at b=128);
+        ``"int8"`` additionally streams the fused kernel's weight tiles as
+        per-column-quantized int8 (W8A8: activations quantized per row in
+        kernel) — halving the dominant weight-traffic term again (see
+        docs/PERF_NOTES.md; token drift vs f32 is quantization noise,
+        serving opt-in).  Default keeps full f32 reference parity."""
+        quant = decode_precision == "int8"
+        tr, fz, pol = self.decode_params("bf16" if quant else decode_precision)
         packed = None
         if DS.fused_greedy_enabled(self.cfg.gpt2, pol, None):
             # cache the kernel's pre-tiled weights, keyed on weight identity
             cache = getattr(self, "_packed_cache", None)
-            if cache is None or cache[0] is not tr or cache[1] is not fz or cache[2] is not pol:
-                cache = (tr, fz, pol, prepare_decode_weights(tr, fz, self.cfg, pol))
+            if (
+                cache is None or cache[0] is not tr or cache[1] is not fz
+                or cache[2] is not pol or cache[3] != quant
+            ):
+                cache = (
+                    tr, fz, pol, quant,
+                    prepare_decode_weights(tr, fz, self.cfg, pol, quant=quant),
+                )
                 self._packed_cache = cache
-            packed = cache[3]
+            packed = cache[4]
         return generate(
             tr,
             fz,
@@ -634,6 +653,7 @@ class ImageCaptioningModel:
             rng=rng,
             policy=pol,
             packed=packed,
+            decode_quant=quant,
         )
 
     def decode_params(self, decode_precision: str | None = None):

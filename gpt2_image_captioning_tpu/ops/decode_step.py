@@ -75,31 +75,19 @@ def _step_kernel(
     x_ref,          # (BB, D) compute dtype — wte[token] + wpe[idx]
     ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,          # (L, D) f32
     attnb_ref, projb_ref, fcb_ref, cprojb_ref,       # (L, nc, 1, TW) f32 tiles
-    lnf_ref,                                          # (2, D) f32 scale/bias
-    hs_ref,                                           # (D, H) compute dtype
-    he_ref,                                           # (H, D) f32
-    # HBM inputs (manual DMA; pre-tiled)
-    qkvw_ref,   # (L, NT_qkv, D, TW)
-    projw_ref,  # (L, NT_proj, D, TW)
-    fcw_ref,    # (L, NT_fc, D, TW)
-    cprojw_ref, # (L, NT_cproj, F, TW)
-    wtet_ref,   # (NT_v, D, VW)
-    kc_in, vc_in,  # (L, Tpad, B, D) caches — aliased to the outputs below;
-    #                all access goes through the out refs
-    # outputs
-    tok_ref,    # (BB, 1) int32 — or, when emit_logits, (NT_v, BP, VW) f32
-    #             logits tiles in HBM (written by DMA, reassembled outside)
-    kc_ref, vc_ref,  # aliased caches (HBM): rows < idx read, row idx written
-    #                  in place (T is NOT a tiled dim in this layout, so the
-    #                  1-row write DMA is legal)
-    # scratch
-    wbuf,       # (2, D, TW) compute dtype — shared weight tile buffer
-    vwbuf,      # (2, D, VW) compute dtype — logits tile buffer
-    kbuf, vbuf,  # (2, CT, BB, D) cache dtype
-    knbuf, vnbuf,  # (BB, D) cache dtype — staging for the row writes
-    lbuf,       # (2, BB, VW) f32 — logits DMA staging (emit_logits only)
-    wsem, vwsem, ksem, vsem, wrsem, lsem,
-    *,
+    *rest,
+    # rest (order fixed by fused_decode_step's in_specs):
+    #   [qkvs, projs, fcs, cprojs, wtes]  — (quant mode only) per-output-
+    #       column dequant scales, tiled like the biases / (NT_v, 1, VW)
+    #   lnf (2, D) f32; hs (D, H) cdt; he (H, D) f32
+    #   HBM weights (pre-tiled): qkvw (L, NT_qkv, D, TW), projw, fcw,
+    #       cprojw (tiles int8 in quant mode), wtet (NT_v, D, VW)
+    #   kc_in, vc_in — (L, Tpad, B, D) caches, aliased to the outputs
+    #   outputs: tok (BB, 1) int32 — or (NT_v, BP, VW) f32 when emit_logits;
+    #       kc, vc aliased caches (row idx written in place)
+    #   scratch: wbuf (2, D, TW) int8|cdt; vwbuf (2, D, VW) int8|cdt;
+    #       kbuf, vbuf (2, CT, BB, D) cache dtype; knbuf, vnbuf (BB, D);
+    #       lbuf (2, BB, VW) f32; 6 DMA semaphore pairs
     n_layer: int,
     d: int,
     f: int,
@@ -110,7 +98,27 @@ def _step_kernel(
     vocab: int,
     eps: float,
     emit_logits: bool,
+    quant: bool,
 ):
+    it = iter(rest)
+    qkvs_ref = projs_ref = fcs_ref = cprojs_ref = wtes_ref = None
+    if quant:
+        qkvs_ref, projs_ref, fcs_ref, cprojs_ref, wtes_ref = (
+            next(it), next(it), next(it), next(it), next(it)
+        )
+    lnf_ref, hs_ref, he_ref = next(it), next(it), next(it)
+    qkvw_ref, projw_ref, fcw_ref, cprojw_ref, wtet_ref = (
+        next(it), next(it), next(it), next(it), next(it)
+    )
+    kc_in, vc_in = next(it), next(it)
+    tok_ref, kc_ref, vc_ref = next(it), next(it), next(it)
+    wbuf, vwbuf, kbuf, vbuf, knbuf, vnbuf, lbuf = (
+        next(it), next(it), next(it), next(it), next(it), next(it), next(it)
+    )
+    wsem, vwsem, ksem, vsem, wrsem, lsem = (
+        next(it), next(it), next(it), next(it), next(it), next(it)
+    )
+
     bi = pl.program_id(0)
     bb = x_ref.shape[0]
     idx = idx_ref[0]
@@ -118,7 +126,15 @@ def _step_kernel(
     scale = 1.0 / math.sqrt(d // n_head)
     cdt = x_ref.dtype
 
-    def stream_matmul(x_in, w_hbm, l, d_in, out_w, bias_ref, post=None):
+    def rowquant(x_in):
+        """Per-row symmetric int8 quantization (W8A8 activation side)."""
+        xf = x_in.astype(jnp.float32)
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=1, keepdims=True) * (1.0 / 127.0), 1e-12
+        )
+        return jnp.round(xf / sx).astype(jnp.int8), sx
+
+    def stream_matmul(x_in, w_hbm, l, d_in, out_w, bias_ref, post=None, scale_ref=None):
         """x_in (BB, d_in) cdt @ w[l] + bias → (BB, out_w).
 
         Weights arrive pre-tiled (L, nc·nr, D, TW), column-major over (c, r)
@@ -129,10 +145,17 @@ def _step_kernel(
         ``post`` (e.g. gelu+cast) is applied per COLUMN TILE so wide f32
         results never sit on the VMEM stack at full width.  ``bias_ref`` is
         pre-tiled (L, nc, 1, TW) — offset slices of a bias row do not lower.
+
+        In quant mode the tiles are int8: the input row is quantized once per
+        call (per-row scale sx), int8×int8 MXU dots accumulate in int32
+        across row blocks, and the column tile is dequantized as
+        ``acc·sx·scale_ref[l, c] + bias`` before ``post``.
         """
         nr = d_in // d
         nc = out_w // tw
         nt = nr * nc
+        if quant:
+            xq, sx = rowquant(x_in)
 
         def dma(slot, t):
             return pltpu.make_async_copy(w_hbm.at[l, t], wbuf.at[slot], wsem.at[slot])
@@ -146,11 +169,18 @@ def _step_kernel(
                 if t + 1 < nt:
                     dma((t + 1) % 2, t + 1).start()
                 dma(t % 2, t).wait()
-                xr = x_in if nr == 1 else x_in[:, r * d : (r + 1) * d]
-                part = jnp.dot(xr, wbuf[t % 2], preferred_element_type=jnp.float32)
+                if quant:
+                    xr = xq if nr == 1 else xq[:, r * d : (r + 1) * d]
+                    part = jnp.dot(xr, wbuf[t % 2], preferred_element_type=jnp.int32)
+                else:
+                    xr = x_in if nr == 1 else x_in[:, r * d : (r + 1) * d]
+                    part = jnp.dot(xr, wbuf[t % 2], preferred_element_type=jnp.float32)
                 acc = part if acc is None else acc + part
                 t += 1
-            acc = acc + bias_ref[l, c]
+            if quant:
+                acc = acc.astype(jnp.float32) * sx * scale_ref[l, c] + bias_ref[l, c]
+            else:
+                acc = acc + bias_ref[l, c]
             outs.append(post(acc) if post else acc)
         return outs[0] if nc == 1 else jnp.concatenate(outs, axis=-1)
 
@@ -255,19 +285,38 @@ def _step_kernel(
     x32 = x_ref[...].astype(jnp.float32)  # residual stream, f32
     for l in range(n_layer):
         xln = _ln(x32, ln1s_ref[l], ln1b_ref[l], eps).astype(cdt)
-        qkv = stream_matmul(xln, qkvw_ref, l, d, qkv_w_pad, attnb_ref, post=to_cdt)
+        qkv = stream_matmul(
+            xln, qkvw_ref, l, d, qkv_w_pad, attnb_ref, post=to_cdt,
+            scale_ref=qkvs_ref,
+        )
         q = qkv[:, :d]
         kn = qkv[:, d : 2 * d]
         vn = qkv[:, 2 * d : 3 * d]
         a = attention(q, kn, vn, l)
-        x32 = x32 + stream_matmul(a.astype(cdt), projw_ref, l, d, proj_pad, projb_ref)[:, :d]
+        x32 = x32 + stream_matmul(
+            a.astype(cdt), projw_ref, l, d, proj_pad, projb_ref,
+            scale_ref=projs_ref,
+        )[:, :d]
         xln2 = _ln(x32, ln2s_ref[l], ln2b_ref[l], eps).astype(cdt)
-        h = stream_matmul(xln2, fcw_ref, l, d, f_pad, fcb_ref, post=gelu_cdt)[:, :f]
-        x32 = x32 + stream_matmul(h, cprojw_ref, l, f, cproj_pad, cprojb_ref)[:, :d]
+        h = stream_matmul(
+            xln2, fcw_ref, l, d, f_pad, fcb_ref, post=gelu_cdt, scale_ref=fcs_ref
+        )[:, :f]
+        x32 = x32 + stream_matmul(
+            h, cprojw_ref, l, f, cproj_pad, cprojb_ref, scale_ref=cprojs_ref
+        )[:, :d]
 
     # final LN + tied-embedding logits + running argmax, streamed over vocab
     xf = _ln(x32, lnf_ref[0], lnf_ref[1], eps).astype(cdt)
     nv = wtet_ref.shape[0]
+    if quant:
+        xfq, sxf = rowquant(xf)
+
+    def vtile(slot, t):
+        """Logits for vocab tile t from the staged weight tile."""
+        if quant:
+            acc = jnp.dot(xfq, vwbuf[slot], preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * sxf * wtes_ref[t]
+        return jnp.dot(xf, vwbuf[slot], preferred_element_type=jnp.float32)
 
     def vdma(slot, t):
         return pltpu.make_async_copy(wtet_ref.at[t], vwbuf.at[slot], vwsem.at[slot])
@@ -287,7 +336,7 @@ def _step_kernel(
             slot = t % 2
             if out_dmas[slot] is not None:
                 out_dmas[slot].wait()
-            logits = jnp.dot(xf, vwbuf[slot], preferred_element_type=jnp.float32)
+            logits = vtile(slot, t)
             col = t * vw + jax.lax.broadcasted_iota(jnp.int32, (bb, vw), 1)
             lbuf[slot, :, :] = jnp.where(col < vocab, logits, NEG_INF)
             out_dmas[slot] = pltpu.make_async_copy(
@@ -305,7 +354,7 @@ def _step_kernel(
             if t + 1 < nv:
                 vdma((t + 1) % 2, t + 1).start()
             vdma(t % 2, t).wait()
-            logits = jnp.dot(xf, vwbuf[t % 2], preferred_element_type=jnp.float32)
+            logits = vtile(t % 2, t)
             col = t * vw + jax.lax.broadcasted_iota(jnp.int32, (bb, vw), 1)
             logits = jnp.where(col < vocab, logits, NEG_INF)
             bm = jnp.max(logits, axis=1, keepdims=True)
@@ -368,27 +417,39 @@ def _tile_bias(b: jnp.ndarray, tile: int) -> jnp.ndarray:
     return b.reshape(l, out // tile, 1, tile)
 
 
+def _colquant(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-column symmetric int8 quantization of (L, d_in, out):
+    returns (int8 weights, (L, out) f32 dequant scales)."""
+    sw = jnp.maximum(jnp.max(jnp.abs(w), axis=1) * (1.0 / 127.0), 1e-12)
+    wq = jnp.round(w / sw[:, None, :]).astype(jnp.int8)
+    return wq, sw.astype(jnp.float32)
+
+
 def pack_decode_weights(params: dict, compute_dtype=jnp.bfloat16, tw: int = TILE_W,
-                        vw: int = VOCAB_W) -> dict:
+                        vw: int = VOCAB_W, quant: bool = False) -> dict:
     """One-time re-layout of stacked GPT-2 params for the fused step kernel.
 
     Done inside jit (constant per generate call, amortized over all decode
     steps): weight matrices become contiguous column tiles so every kernel
     DMA is a single dense copy; wte is transposed once for the logits stream.
+
+    ``quant=True`` packs the W8A8 serving mode: every streamed matrix
+    (attention/MLP projections AND the tied-embedding logits matrix) is
+    stored as int8 with per-output-column symmetric scales — halving the
+    dominant HBM traffic term of the weight-bandwidth-bound decode step
+    versus bf16.  Activations are quantized per row inside the kernel.
     """
     blocks = params["blocks"]
     v, d = params["wte"].shape
     pad_v = (-v) % vw
-    wte_t = params["wte"].T  # (D, V)
+    wte_t = params["wte"].astype(jnp.float32).T  # (D, V)
+    if quant:
+        wq, wscale = _colquant(wte_t[None])  # treat as L=1
+        wte_t, wte_scales = wq[0].astype(jnp.float32), wscale[0]
     if pad_v:
         wte_t = jnp.pad(wte_t, ((0, 0), (0, pad_v)))
     nv = (v + pad_v) // vw
-    return {
-        "qkvw": _tile_rc(blocks["attn"]["c_attn"]["w"], d, tw, compute_dtype),
-        "projw": _tile_rc(blocks["attn"]["c_proj"]["w"], d, tw, compute_dtype),
-        "fcw": _tile_rc(blocks["mlp"]["c_fc"]["w"], d, tw, compute_dtype),
-        "cprojw": _tile_rc(blocks["mlp"]["c_proj"]["w"], d, tw, compute_dtype),
-        "wtet": wte_t.reshape(d, nv, vw).transpose(1, 0, 2).astype(compute_dtype),
+    out = {
         "ln1s": blocks["ln_1"]["scale"].astype(jnp.float32),
         "ln1b": blocks["ln_1"]["bias"].astype(jnp.float32),
         "ln2s": blocks["ln_2"]["scale"].astype(jnp.float32),
@@ -401,6 +462,28 @@ def pack_decode_weights(params: dict, compute_dtype=jnp.bfloat16, tw: int = TILE
             [params["ln_f"]["scale"], params["ln_f"]["bias"]]
         ).astype(jnp.float32),
     }
+    mats = {
+        "qkvw": blocks["attn"]["c_attn"]["w"],
+        "projw": blocks["attn"]["c_proj"]["w"],
+        "fcw": blocks["mlp"]["c_fc"]["w"],
+        "cprojw": blocks["mlp"]["c_proj"]["w"],
+    }
+    if quant:
+        for name, w in mats.items():
+            wq, sw = _colquant(w.astype(jnp.float32))
+            out[name] = _tile_rc(wq, d, tw, jnp.int8)
+            out[name[:-1] + "s"] = _tile_bias(sw, tw)  # qkvs/projs/fcs/cprojs
+        out["wtet"] = (
+            wte_t.reshape(d, nv, vw).transpose(1, 0, 2).astype(jnp.int8)
+        )
+        out["wtes"] = _pad_cols(wte_scales[None], vw)[0].reshape(nv, 1, vw)
+    else:
+        for name, w in mats.items():
+            out[name] = _tile_rc(w, d, tw, compute_dtype)
+        out["wtet"] = (
+            wte_t.reshape(d, nv, vw).transpose(1, 0, 2).astype(compute_dtype)
+        )
+    return out
 
 
 def fused_decode_step(
@@ -436,6 +519,7 @@ def fused_decode_step(
     b = x0.shape[0]
     f = 4 * d  # GPT-2 MLP width
     cdt = x0.dtype
+    quant = "qkvs" in packed  # int8 W8A8 packing (pack_decode_weights quant=True)
     tw = packed["qkvw"].shape[3]
     vw = packed["wtet"].shape[2]
     ct = min(CHUNK_T, tpad)
@@ -463,12 +547,26 @@ def fused_decode_step(
         vocab=vocab,
         eps=eps,
         emit_logits=emit_logits,
+        quant=quant,
     )
     nv = packed["wtet"].shape[0]
 
     def vm(shape):  # VMEM full-block spec, replicated over the batch grid
         return pl.BlockSpec(shape, lambda bi, s: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
+    scale_specs = []
+    scale_args = []
+    if quant:
+        scale_specs = [
+            vm(packed["qkvs"].shape), vm(packed["projs"].shape),
+            vm(packed["fcs"].shape), vm(packed["cprojs"].shape),
+            vm(packed["wtes"].shape),
+        ]
+        scale_args = [
+            packed["qkvs"], packed["projs"], packed["fcs"], packed["cprojs"],
+            packed["wtes"],
+        ]
+    wtile_dt = jnp.int8 if quant else cdt
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -482,6 +580,7 @@ def fused_decode_step(
             vm(packed["projb"].shape),
             vm(packed["fcb"].shape),
             vm(packed["cprojb"].shape),
+            *scale_specs,
             vm(packed["lnf"].shape),
             vm(hs.shape),
             vm(he.shape),
@@ -501,8 +600,8 @@ def fused_decode_step(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, d, tw), cdt),
-            pltpu.VMEM((2, d, vw), cdt),
+            pltpu.VMEM((2, d, tw), wtile_dt),
+            pltpu.VMEM((2, d, vw), wtile_dt),
             pltpu.VMEM((2, ct, bb, d), k_cache.dtype),
             pltpu.VMEM((2, ct, bb, d), v_cache.dtype),
             pltpu.VMEM((bb, d), k_cache.dtype),
@@ -516,6 +615,7 @@ def fused_decode_step(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    n_in = 18 + len(scale_args)  # caches are the last two inputs
     tok, kc, vc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -527,13 +627,14 @@ def fused_decode_step(
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
         # caches update in place (indices count the scalar-prefetch operand)
-        input_output_aliases={18: 1, 19: 2},
+        input_output_aliases={n_in: 1, n_in + 1: 2},
         interpret=interpret,
     )(
         jnp.asarray(idx, jnp.int32).reshape(1),
         x0,
         packed["ln1s"], packed["ln1b"], packed["ln2s"], packed["ln2b"],
         packed["attnb"], packed["projb"], packed["fcb"], packed["cprojb"],
+        *scale_args,
         packed["lnf"], hs, he,
         packed["qkvw"], packed["projw"], packed["fcw"], packed["cprojw"],
         packed["wtet"],

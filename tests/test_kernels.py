@@ -369,6 +369,78 @@ def test_generate_fused_sampled_matches_xla_path():
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
+def test_fused_decode_step_int8_close_to_f32():
+    """W8A8 quantized fused step (interpret): logits within quantization
+    noise of the f32 layerwise path, caches likewise."""
+    from gpt2_image_captioning_tpu.models import gpt2
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+    cfg = gpt2.GPT2Config(vocab_size=293, n_positions=128, n_embd=32, n_layer=2, n_head=2)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(11)
+    b, p_len = 3, 5
+    prefix = jnp.asarray(rng.normal(size=(b, p_len, cfg.n_embd)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, b, p_len + 3)
+    logits0, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+    packed_q = DS.pack_decode_weights(params, compute_dtype=jnp.float32, quant=True)
+    # int8 packing invariants
+    assert packed_q["qkvw"].dtype == jnp.int8
+    assert packed_q["wtet"].dtype == jnp.int8
+    assert packed_q["qkvs"].shape == packed_q["attnb"].shape
+
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    emb = gpt2.embed_tokens(params, tok[:, None])
+    want, _ = gpt2.forward_cached(params, cfg, emb, cache, use_pallas_decode=False)
+
+    idx = cache["index"]
+    x0 = gpt2.embed_tokens(params, tok[:, None])[:, 0] + params["wpe"][idx]
+    got, kc, vc = DS.fused_decode_step(
+        packed_q, x0.astype(jnp.float32), cache["k"], cache["v"], idx,
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        emit_logits=True,
+    )
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got)
+    rel = np.abs(w - g).max() / np.abs(w).max()
+    cos = (w * g).sum() / (np.linalg.norm(w) * np.linalg.norm(g))
+    assert rel < 0.15, rel  # int8 weight+activation quantization noise
+    assert cos > 0.995, cos
+
+
+def test_generate_int8_decode_runs_and_tracks_f32():
+    """End-to-end generate with decode_quant: runs, EOS-consistent, and the
+    greedy tokens stay close to the f32 path (quantization drift only)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    gcfg = G.GPT2Config(vocab_size=293, n_positions=64, n_embd=32, n_layer=2, n_head=2)
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=16, gpt_dim=32)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=292)
+    trainable, frozen = C.init_params(jax.random.PRNGKey(3), ccfg)
+    emb = jnp.asarray(np.random.default_rng(5).normal(size=(4, 16)).astype(np.float32))
+
+    want = np.asarray(
+        C.generate(trainable, frozen, ccfg, emb, max_length=10, temperature=0.0,
+                   top_p=1.0, use_pallas_decode=False)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            C.generate(trainable, frozen, ccfg, emb, max_length=10, temperature=0.0,
+                       top_p=1.0, use_pallas_decode=True, decode_quant=True)
+        )
+    assert got.shape == want.shape
+    for row in got:
+        hit = np.where(row == 292)[0]
+        if len(hit):
+            assert (row[hit[0]:] == 292).all()
+    # random-init tiny logits are the adversarial case for quantization; the
+    # trajectories still mostly coincide (deterministic given the seeds)
+    assert (got == want).mean() > 0.5, (got, want)
+
+
 def test_beam_generate_fused_matches_xla_path():
     """Beam search on the fused emit_logits kernel == the per-layer XLA beam
     path (same best-beam tokens): the kernel only replaces the per-step
