@@ -58,11 +58,17 @@ def generate_predictions(
     With ``db_store`` set (RAT models) image embeddings are retrieval-
     augmented before decoding (reference ``src/eval.py:232-308``).
     ``decode_precision="bf16"`` decodes with bfloat16-stored weights
-    (+25-32% throughput; retrieval augmentation stays at model precision).
+    (+25-32% throughput; retrieval augmentation stays at model precision);
+    ``"int8"`` uses the W8A8 quantized fused kernel (docs/PERF_NOTES.md).
     """
     tokenizer = dataset.tokenizer
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    dec_tr, dec_fz, dec_pol = model.decode_params(decode_precision)
+    # "int8" = bf16-stored weights + int8 W8A8 packed tiles for the fused
+    # kernel (the facade does the same mapping)
+    quant = decode_precision == "int8"
+    dec_tr, dec_fz, dec_pol = model.decode_params(
+        "bf16" if quant else decode_precision
+    )
     predictions: list[dict[str, Any]] = []
     n_batches = 0
     t0 = time.perf_counter()
@@ -89,12 +95,14 @@ def generate_predictions(
     packed = None
     if (
         decode != "beam"
-        and temperature == 0.0
         and mesh is None
         and C.DS.fused_greedy_enabled(model.cfg.gpt2, dec_pol, None)
     ):
         # pre-tile the weights for the fused decode kernel once per eval pass
-        packed = C.prepare_decode_weights(dec_tr, dec_fz, model.cfg, dec_pol)
+        # (greedy AND top-p sampled decode both ride the fused kernel now)
+        packed = C.prepare_decode_weights(
+            dec_tr, dec_fz, model.cfg, dec_pol, quant=quant
+        )
 
     def dispatch(i, batch):
         if decode == "beam":
@@ -107,7 +115,7 @@ def generate_predictions(
             dec_tr, dec_fz, model.cfg, batch["image_embedding"],
             max_length=max_length, temperature=temperature, top_p=top_p,
             rng=jax.random.fold_in(rng, i), policy=dec_pol, packed=packed,
-            mesh=mesh,
+            mesh=mesh, decode_quant=quant,
         )
 
     def consume(batch, ids):

@@ -105,6 +105,31 @@ def test_generate_fused_kernel_dp_sharded(setup):
     np.testing.assert_array_equal(base, got)
 
 
+def test_generate_fused_int8_dp_sharded(setup):
+    """int8 W8A8 packed weights survive the shard_map dp split (the packed
+    pytree, including int8 tiles + scale tiles, is replicated per shard)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.core.mesh import batch_sharding
+
+    ccfg, model, host_tr, batch = setup
+    emb = jnp.asarray(batch["image_embedding"])
+    mesh = create_mesh(MeshSpec(dp=4, tp=1))
+    emb_sharded = jax.device_put(emb, batch_sharding(mesh))
+    with pltpu.force_tpu_interpret_mode():
+        single = np.asarray(
+            C.generate(model.trainable, model.frozen, ccfg, emb,
+                       max_length=6, temperature=0.0, top_p=1.0,
+                       use_pallas_decode=True, decode_quant=True)
+        )
+        sharded = np.asarray(
+            C.generate(model.trainable, model.frozen, ccfg, emb_sharded,
+                       max_length=6, temperature=0.0, top_p=1.0,
+                       use_pallas_decode=True, decode_quant=True, mesh=mesh)
+        )
+    np.testing.assert_array_equal(single, sharded)
+
+
 @pytest.mark.parametrize("dp,tp", [(2, 2), (1, 4)])
 def test_generate_invariant_to_tp_sharding(setup, dp, tp):
     """TP-sharded decode (params + KV cache partitioned over tp, GSPMD

@@ -146,8 +146,14 @@ def test_generate_predictions_bf16_precision(model, data):
     assert len(preds16) == len(preds32) == 12
     assert {p["image_id"] for p in preds16} == {p["image_id"] for p in preds32}
     assert all(isinstance(p["caption"], str) for p in preds16)
+    # int8 (W8A8 serving mode) is a valid precision through the pipeline too
+    preds8 = generate_predictions(
+        model, ds, batch_size=8, max_length=6, temperature=0.0, verbose=False,
+        decode_precision="int8",
+    )
+    assert {p["image_id"] for p in preds8} == {p["image_id"] for p in preds32}
     with pytest.raises(ValueError, match="decode_precision"):
-        generate_predictions(model, ds, batch_size=8, decode_precision="int8", verbose=False)
+        generate_predictions(model, ds, batch_size=8, decode_precision="fp8", verbose=False)
 
 
 def test_prefetched_preserves_order_and_propagates_errors():
