@@ -201,7 +201,7 @@ def mean_loss(
     jax.jit,
     static_argnames=(
         "cfg", "max_length", "temperature", "top_p", "policy", "unroll_decode",
-        "use_pallas_decode", "mesh", "decode_quant",
+        "use_pallas_decode", "mesh", "decode_quant", "decode_quant_cache",
     ),
 )
 def generate(
@@ -220,6 +220,7 @@ def generate(
     packed: dict | None = None,
     mesh=None,
     decode_quant: bool = False,
+    decode_quant_cache: bool = False,
 ) -> jnp.ndarray:
     """Autoregressive caption generation → token ids (B, max_length).
 
@@ -280,60 +281,86 @@ def generate(
                 gpt_params, policy.compute_dtype, quant=decode_quant
             )
 
-        def fused_loop(wte, wpe, packed, logits, k_c0, v_c0, index0):
+        def step_kernel(packed, x0, cache_state, index):
+            """One fused step over the (k, v[, k_scale, v_scale]) state."""
+            if decode_quant_cache:
+                nxt, kc, vc, ks, vs = DS.fused_decode_step(
+                    packed, x0, cache_state[0], cache_state[1], index,
+                    n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+                    eps=cfg.gpt2.layer_norm_epsilon,
+                    k_scale=cache_state[2], v_scale=cache_state[3],
+                )
+                return nxt, (kc, vc, ks, vs)
+            nxt, kc, vc = DS.fused_decode_step(
+                packed, x0, cache_state[0], cache_state[1], index,
+                n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+                eps=cfg.gpt2.layer_norm_epsilon,
+            )
+            return nxt, (kc, vc)
+
+        def fused_loop(wte, wpe, packed, logits, cache_state, index0):
             bs = logits.shape[0]
             nxt0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             finished0 = nxt0 == eos
             toks0 = jnp.full((bs, max_length), eos, dtype=jnp.int32).at[:, 0].set(nxt0)
 
             def f_cond(state):
-                step, _, _, finished, _, _, _ = state
+                step, _, _, finished, _, _ = state
                 return jnp.logical_and(
                     step < max_length, jnp.logical_not(jnp.all(finished))
                 )
 
             def f_body(state):
-                step, tokens, prev, finished, k_c, v_c, index = state
+                step, tokens, prev, finished, cache_state, index = state
                 x0 = (
                     jnp.take(wte, prev, axis=0)
                     + jax.lax.dynamic_slice_in_dim(wpe, index, 1, 0)[0]
                 ).astype(policy.compute_dtype)
-                nxt, k_c, v_c = DS.fused_decode_step(
-                    packed, x0, k_c, v_c, index, n_head=cfg.gpt2.n_head,
-                    vocab=cfg.gpt2.vocab_size, eps=cfg.gpt2.layer_norm_epsilon,
-                )
+                nxt, cache_state = step_kernel(packed, x0, cache_state, index)
                 finished = jnp.logical_or(finished, nxt == eos)
                 nxt = jnp.where(finished, eos, nxt)
                 tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
-                return step + 1, tokens, nxt, finished, k_c, v_c, index + 1
+                return step + 1, tokens, nxt, finished, cache_state, index + 1
 
-            _, tokens, _, _, _, _, _ = jax.lax.while_loop(
+            _, tokens, _, _, _, _ = jax.lax.while_loop(
                 f_cond,
                 f_body,
-                (jnp.ones((), jnp.int32), toks0, nxt0, finished0, k_c0, v_c0, index0),
+                (jnp.ones((), jnp.int32), toks0, nxt0, finished0, cache_state, index0),
             )
             return tokens
 
         wte, wpe = gpt_params["wte"], gpt_params["wpe"]
+        if decode_quant_cache:
+            # int8 KV cache: one-time quantization of the prefilled cache;
+            # the kernel appends quantized rows + per-row scales thereafter.
+            # OFF by default even under decode_quant: measured on-chip it
+            # does NOT pay (37.8 vs 37.0 ms/batch) — the chunked attention
+            # loop is DMA-latency/VPU-bound, so the dequant multiplies eat
+            # the bandwidth saving (docs/PERF_NOTES.md).
+            kq, vq, ks, vs = DS.quantize_cache(cache["k"], cache["v"])
+            cache_state0 = (kq, vq, ks, vs)
+        else:
+            cache_state0 = (cache["k"], cache["v"])
         if mesh is None:
-            return fused_loop(
-                wte, wpe, packed, logits, cache["k"], cache["v"], cache["index"]
-            )
+            return fused_loop(wte, wpe, packed, logits, cache_state0, cache["index"])
         from jax import shard_map
         from jax.sharding import PartitionSpec as _P
 
+        cache_specs = (_P(None, None, "dp", None),) * 2 + (
+            (_P(None, None, "dp"),) * 2 if decode_quant_cache else ()
+        )
         fn = shard_map(
             fused_loop,
             mesh=mesh,
             in_specs=(
                 _P(), _P(), jax.tree.map(lambda _: _P(), packed),
                 _P("dp", None),
-                _P(None, None, "dp", None), _P(None, None, "dp", None), _P(),
+                cache_specs, _P(),
             ),
             out_specs=_P("dp", None),
             check_vma=False,
         )
-        return fn(wte, wpe, packed, logits, cache["k"], cache["v"], cache["index"])
+        return fn(wte, wpe, packed, logits, cache_state0, cache["index"])
 
     if temperature != 0.0 and fused_enabled and mesh is None:
         # Sampled decode on the same one-kernel-per-step serving path: the
@@ -349,12 +376,28 @@ def generate(
             )
         wte, wpe = gpt_params["wte"], gpt_params["wpe"]
 
+        def fs_step(packed, x0, cache_state, index):
+            if decode_quant_cache:
+                lg, kc, vc, ks, vs = DS.fused_decode_step(
+                    packed, x0, cache_state[0], cache_state[1], index,
+                    n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+                    eps=cfg.gpt2.layer_norm_epsilon, emit_logits=True,
+                    k_scale=cache_state[2], v_scale=cache_state[3],
+                )
+                return lg, (kc, vc, ks, vs)
+            lg, kc, vc = DS.fused_decode_step(
+                packed, x0, cache_state[0], cache_state[1], index,
+                n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+                eps=cfg.gpt2.layer_norm_epsilon, emit_logits=True,
+            )
+            return lg, (kc, vc)
+
         def fs_cond(state):
-            step, _, _, finished, _, _, _, _ = state
+            step, _, _, finished, _, _, _ = state
             return jnp.logical_and(step < max_length, jnp.logical_not(jnp.all(finished)))
 
         def fs_body(state):
-            step, tokens, logits, finished, k_c, v_c, index, rng = state
+            step, tokens, logits, finished, cache_state, index, rng = state
             step_rng = jax.random.fold_in(rng, step)
             nxt = sample_token(logits, temperature=temperature, top_p=top_p, rng=step_rng)
             finished = jnp.logical_or(finished, nxt == eos)
@@ -364,19 +407,20 @@ def generate(
                 jnp.take(wte, nxt, axis=0)
                 + jax.lax.dynamic_slice_in_dim(wpe, index, 1, 0)[0]
             ).astype(policy.compute_dtype)
-            logits, k_c, v_c = DS.fused_decode_step(
-                packed, x0, k_c, v_c, index, n_head=cfg.gpt2.n_head,
-                vocab=cfg.gpt2.vocab_size, eps=cfg.gpt2.layer_norm_epsilon,
-                emit_logits=True,
-            )
-            return step + 1, tokens, logits, finished, k_c, v_c, index + 1, rng
+            logits, cache_state = fs_step(packed, x0, cache_state, index)
+            return step + 1, tokens, logits, finished, cache_state, index + 1, rng
 
-        _, tokens, _, _, _, _, _, _ = jax.lax.while_loop(
+        if decode_quant_cache:
+            kq, vq, ks, vs = DS.quantize_cache(cache["k"], cache["v"])
+            cache_state0 = (kq, vq, ks, vs)
+        else:
+            cache_state0 = (cache["k"], cache["v"])
+        _, tokens, _, _, _, _, _ = jax.lax.while_loop(
             fs_cond,
             fs_body,
             (
                 jnp.zeros((), jnp.int32), tokens0, logits.astype(jnp.float32),
-                finished0, cache["k"], cache["v"], cache["index"], rng,
+                finished0, cache_state0, cache["index"], rng,
             ),
         )
         return tokens

@@ -99,6 +99,7 @@ def _step_kernel(
     eps: float,
     emit_logits: bool,
     quant: bool,
+    cache_quant: bool,
 ):
     it = iter(rest)
     qkvs_ref = projs_ref = fcs_ref = cprojs_ref = wtes_ref = None
@@ -111,13 +112,24 @@ def _step_kernel(
         next(it), next(it), next(it), next(it), next(it)
     )
     kc_in, vc_in = next(it), next(it)
+    ks_in = vs_in = None
+    if cache_quant:
+        ks_in, vs_in = next(it), next(it)
     tok_ref, kc_ref, vc_ref = next(it), next(it), next(it)
+    ks_ref = vs_ref = None
+    if cache_quant:
+        ks_ref, vs_ref = next(it), next(it)
     wbuf, vwbuf, kbuf, vbuf, knbuf, vnbuf, lbuf = (
         next(it), next(it), next(it), next(it), next(it), next(it), next(it)
     )
     wsem, vwsem, ksem, vsem, wrsem, lsem = (
         next(it), next(it), next(it), next(it), next(it), next(it)
     )
+    ksbuf = vsbuf = ksnbuf = vsnbuf = kssem = vssem = None
+    if cache_quant:
+        ksbuf, vsbuf, ksnbuf, vsnbuf, kssem, vssem = (
+            next(it), next(it), next(it), next(it), next(it), next(it)
+        )
 
     bi = pl.program_id(0)
     bb = x_ref.shape[0]
@@ -186,9 +198,40 @@ def _step_kernel(
 
     def attention(q, kn, vn, l):
         """Valid-prefix cached attention for layer l; writes the new K/V row
-        into the cache in place.  q/kn/vn (BB, D) cdt → (BB, D) f32."""
-        knbuf[...] = kn.astype(knbuf.dtype)
-        vnbuf[...] = vn.astype(vnbuf.dtype)
+        into the cache in place.  q/kn/vn (BB, D) cdt → (BB, D) f32.
+
+        With an int8 cache (cache_quant) rows carry a per-(position, batch)
+        scale in the (L, Tpad, B) side arrays: the new row is quantized
+        before its write, chunk reads DMA the matching scale chunk and fold
+        the dequant multiply into the elementwise products the math already
+        does.  The epilogue uses the exact (pre-quantization) kn/vn."""
+        wr_dmas = []
+        if cache_quant:
+            knf = kn.astype(jnp.float32)
+            vnf = vn.astype(jnp.float32)
+            kns = jnp.maximum(
+                jnp.max(jnp.abs(knf), axis=1) * (1.0 / 127.0), 1e-12
+            )
+            vns = jnp.maximum(
+                jnp.max(jnp.abs(vnf), axis=1) * (1.0 / 127.0), 1e-12
+            )
+            knbuf[...] = jnp.round(knf / kns[:, None]).astype(jnp.int8)
+            vnbuf[...] = jnp.round(vnf / vns[:, None]).astype(jnp.int8)
+            ksnbuf[0, :] = kns
+            vsnbuf[0, :] = vns
+            wr_dmas = [
+                pltpu.make_async_copy(
+                    ksnbuf, ks_ref.at[l, pl.ds(idx, 1), pl.ds(bi * bb, bb)],
+                    wrsem.at[2],
+                ),
+                pltpu.make_async_copy(
+                    vsnbuf, vs_ref.at[l, pl.ds(idx, 1), pl.ds(bi * bb, bb)],
+                    wrsem.at[3],
+                ),
+            ]
+        else:
+            knbuf[...] = kn.astype(knbuf.dtype)
+            vnbuf[...] = vn.astype(vnbuf.dtype)
         kw_dma = pltpu.make_async_copy(
             knbuf, kc_ref.at[l, idx, pl.ds(bi * bb, bb), :], wrsem.at[0]
         )
@@ -197,6 +240,8 @@ def _step_kernel(
         )
         kw_dma.start()
         vw_out_dma.start()
+        for dma in wr_dmas:
+            dma.start()
 
         def k_dma(slot, c):
             return pltpu.make_async_copy(
@@ -212,10 +257,30 @@ def _step_kernel(
                 vsem.at[slot],
             )
 
+        def ks_dma(slot, c):
+            return pltpu.make_async_copy(
+                ks_ref.at[l, pl.ds(c * ct, ct), pl.ds(bi * bb, bb)],
+                ksbuf.at[slot],
+                kssem.at[slot],
+            )
+
+        def vs_dma(slot, c):
+            return pltpu.make_async_copy(
+                vs_ref.at[l, pl.ds(c * ct, ct), pl.ds(bi * bb, bb)],
+                vsbuf.at[slot],
+                vssem.at[slot],
+            )
+
+        def chunk_dmas(slot, c):
+            dmas = [k_dma(slot, c), v_dma(slot, c)]
+            if cache_quant:
+                dmas += [ks_dma(slot, c), vs_dma(slot, c)]
+            return dmas
+
         @pl.when(nchunks > 0)
         def _():
-            k_dma(0, 0).start()
-            v_dma(0, 0).start()
+            for dma in chunk_dmas(0, 0):
+                dma.start()
 
         def body(c, carry):
             m, l_run, acc = carry
@@ -224,13 +289,20 @@ def _step_kernel(
 
             @pl.when(c + 1 < nchunks)
             def _():
-                k_dma(nxt, c + 1).start()
-                v_dma(nxt, c + 1).start()
+                for dma in chunk_dmas(nxt, c + 1):
+                    dma.start()
 
-            k_dma(slot, c).wait()
-            v_dma(slot, c).wait()
-            k = kbuf[slot]  # (CT, BB, D)
-            v = vbuf[slot]
+            for dma in chunk_dmas(slot, c):
+                dma.wait()
+            if cache_quant:
+                # dequant folded into the products; minor-dim insertion must
+                # happen on the f32 scales (Mosaic only supports it for
+                # 32-bit types), cast after
+                k = kbuf[slot].astype(cdt) * ksbuf[slot][:, :, None].astype(cdt)
+                v = vbuf[slot].astype(cdt) * vsbuf[slot][:, :, None].astype(cdt)
+            else:
+                k = kbuf[slot]  # (CT, BB, D)
+                v = vbuf[slot]
             prod = k * q[None, :, :]
             s = jnp.dot(
                 prod.reshape(ct * bb, d), hs_ref[...], preferred_element_type=jnp.float32
@@ -270,6 +342,8 @@ def _step_kernel(
         l_e = jnp.dot(l_f, he_ref[...], preferred_element_type=jnp.float32)
         kw_dma.wait()
         vw_out_dma.wait()
+        for dma in wr_dmas:
+            dma.wait()
         return acc / l_e
 
     # output widths are tile-padded; biases arrive pre-padded, results sliced.
@@ -486,6 +560,26 @@ def pack_decode_weights(params: dict, compute_dtype=jnp.bfloat16, tw: int = TILE
     return out
 
 
+def quantize_cache(
+    k: jnp.ndarray, v: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(L, T, B, D) float caches → int8 caches + (L, T, B) f32 per-row scales.
+
+    One-time pass after prefill (the decode loop then appends quantized rows
+    in-kernel); all-zero rows (beyond the prefill index) quantize to zeros
+    under the epsilon-clamped scale.
+    """
+
+    def one(c):
+        cf = c.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(cf), axis=-1) * (1.0 / 127.0), 1e-12)
+        return jnp.round(cf / s[..., None]).astype(jnp.int8), s
+
+    kq, ks = one(k)
+    vq, vs = one(v)
+    return kq, vq, ks, vs
+
+
 def fused_decode_step(
     packed: dict,
     x0: jnp.ndarray,
@@ -498,7 +592,9 @@ def fused_decode_step(
     eps: float = 1e-5,
     interpret: bool = False,
     emit_logits: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    k_scale: jnp.ndarray | None = None,
+    v_scale: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, ...]:
     """One fused decode step.
 
     x0: (B, D) input embeddings (token embed + position embed) in the compute
@@ -512,6 +608,11 @@ def fused_decode_step(
     negligible next to the weight walk), so temperature/top-p sampling and
     beam search can run the same one-kernel-per-step serving path with the
     token selection done outside in XLA.
+
+    int8 KV cache: pass int8 caches plus ``k_scale``/``v_scale``
+    (L, Tpad, B) f32 per-row scales (see :func:`quantize_cache`); the return
+    tuple then ends with the updated scale arrays.  Halves the cache-read
+    traffic — the largest per-step HBM term after the weights.
     """
     from gpt2_image_captioning_tpu.ops.decode_attention import _head_sum_matrix
 
@@ -520,6 +621,9 @@ def fused_decode_step(
     f = 4 * d  # GPT-2 MLP width
     cdt = x0.dtype
     quant = "qkvs" in packed  # int8 W8A8 packing (pack_decode_weights quant=True)
+    cache_quant = k_cache.dtype == jnp.int8
+    if cache_quant:
+        assert k_scale is not None and v_scale is not None, "int8 cache needs scales"
     tw = packed["qkvw"].shape[3]
     vw = packed["wtet"].shape[2]
     ct = min(CHUNK_T, tpad)
@@ -529,6 +633,9 @@ def fused_decode_step(
         x0 = jnp.pad(x0, ((0, pad_b), (0, 0)))
         k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
+        if cache_quant:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, pad_b)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, pad_b)))
     bp = x0.shape[0]
     nb = bp // bb
 
@@ -548,6 +655,7 @@ def fused_decode_step(
         eps=eps,
         emit_logits=emit_logits,
         quant=quant,
+        cache_quant=cache_quant,
     )
     nv = packed["wtet"].shape[0]
 
@@ -591,6 +699,11 @@ def fused_decode_step(
             pl.BlockSpec(memory_space=pl.ANY),  # wtet
             pl.BlockSpec(memory_space=pl.ANY),  # k_cache
             pl.BlockSpec(memory_space=pl.ANY),  # v_cache
+            *(
+                [pl.BlockSpec(memory_space=pl.ANY)] * 2  # k_scale, v_scale
+                if cache_quant
+                else []
+            ),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY)
@@ -598,6 +711,11 @@ def fused_decode_step(
             else pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            *(
+                [pl.BlockSpec(memory_space=pl.ANY)] * 2
+                if cache_quant
+                else []
+            ),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, d, tw), wtile_dt),
@@ -611,23 +729,46 @@ def fused_decode_step(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            *(
+                [
+                    pltpu.VMEM((2, ct, bb), jnp.float32),
+                    pltpu.VMEM((2, ct, bb), jnp.float32),
+                    pltpu.VMEM((1, bb), jnp.float32),
+                    pltpu.VMEM((1, bb), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]
+                if cache_quant
+                else []
+            ),
         ],
     )
-    n_in = 18 + len(scale_args)  # caches are the last two inputs
-    tok, kc, vc = pl.pallas_call(
+    n_in = 18 + len(scale_args)  # caches (+ cache scales) are the last inputs
+    aliases = {n_in: 1, n_in + 1: 2}
+    out_shapes = [
+        jax.ShapeDtypeStruct((nv, bp, vw), jnp.float32)
+        if emit_logits
+        else jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    ]
+    cache_args = [k_cache, v_cache]
+    if cache_quant:
+        aliases[n_in + 2] = 3
+        aliases[n_in + 3] = 4
+        out_shapes += [
+            jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
+        ]
+        cache_args += [k_scale, v_scale]
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((nv, bp, vw), jnp.float32)
-            if emit_logits
-            else jax.ShapeDtypeStruct((bp, 1), jnp.int32),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ),
+        out_shape=tuple(out_shapes),
         # caches update in place (indices count the scalar-prefetch operand)
-        input_output_aliases={n_in: 1, n_in + 1: 2},
+        input_output_aliases=aliases,
         interpret=interpret,
     )(
         jnp.asarray(idx, jnp.int32).reshape(1),
@@ -638,13 +779,21 @@ def fused_decode_step(
         packed["lnf"], hs, he,
         packed["qkvw"], packed["projw"], packed["fcw"], packed["cprojw"],
         packed["wtet"],
-        k_cache, v_cache,
+        *cache_args,
     )
+    tok, kc, vc = outs[0], outs[1], outs[2]
     if pad_b:
         kc = kc[:, :, :b]
         vc = vc[:, :, :b]
     if emit_logits:
         # (NT_v, BP, VW) tiles → (B, vocab); padded cols hold NEG_INF anyway
-        logits = jnp.moveaxis(tok, 0, 1).reshape(bp, nv * vw)[:b, :vocab]
-        return logits, kc, vc
-    return tok[:b, 0], kc, vc
+        head = jnp.moveaxis(tok, 0, 1).reshape(bp, nv * vw)[:b, :vocab]
+    else:
+        head = tok[:b, 0]
+    if cache_quant:
+        ks, vs = outs[3], outs[4]
+        if pad_b:
+            ks = ks[:, :, :b]
+            vs = vs[:, :, :b]
+        return head, kc, vc, ks, vs
+    return head, kc, vc

@@ -407,6 +407,50 @@ def test_fused_decode_step_int8_close_to_f32():
     assert cos > 0.995, cos
 
 
+def test_fused_decode_step_int8_cache_appends_and_tracks():
+    """int8 KV cache: quantize_cache roundtrips within int8 noise, the kernel
+    appends quantized rows + scales at idx, and chained steps stay close to
+    the f32 path."""
+    from gpt2_image_captioning_tpu.models import gpt2
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+    cfg = gpt2.GPT2Config(vocab_size=293, n_positions=128, n_embd=32, n_layer=2, n_head=2)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(13)
+    b, p_len = 3, 5
+    prefix = jnp.asarray(rng.normal(size=(b, p_len, cfg.n_embd)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, b, p_len + 4)
+    logits0, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+
+    kq, vq, ks, vs = DS.quantize_cache(cache["k"], cache["v"])
+    # roundtrip within int8 quantization noise on the valid prefix
+    k_rt = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    k_ref = np.asarray(cache["k"], np.float32)
+    assert np.abs(k_rt - k_ref).max() <= np.abs(k_ref).max() / 127.0 + 1e-6
+
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32, quant=True)
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    idx = cache["index"]
+    x0 = gpt2.embed_tokens(params, tok[:, None])[:, 0] + params["wpe"][idx]
+    got, kq2, vq2, ks2, vs2 = DS.fused_decode_step(
+        packed, x0.astype(jnp.float32), kq, vq, idx,
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        emit_logits=True, k_scale=ks, v_scale=vs,
+    )
+    # the appended row idx carries a real scale and nonzero int8 data
+    assert np.asarray(ks2)[:, int(idx)].min() > 1e-10
+    assert np.abs(np.asarray(kq2[:, int(idx)], np.int32)).max() > 0
+    # rows before idx untouched
+    np.testing.assert_array_equal(np.asarray(kq2[:, :int(idx)]), np.asarray(kq[:, :int(idx)]))
+
+    emb = gpt2.embed_tokens(params, tok[:, None])
+    want, _ = gpt2.forward_cached(params, cfg, emb, cache, use_pallas_decode=False)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got)
+    cos = (w * g).sum() / (np.linalg.norm(w) * np.linalg.norm(g))
+    assert cos > 0.99, cos
+
+
 def test_generate_int8_decode_runs_and_tracks_f32():
     """End-to-end generate with decode_quant: runs, EOS-consistent, and the
     greedy tokens stay close to the f32 path (quantization drift only)."""
@@ -439,6 +483,21 @@ def test_generate_int8_decode_runs_and_tracks_f32():
     # random-init tiny logits are the adversarial case for quantization; the
     # trajectories still mostly coincide (deterministic given the seeds)
     assert (got == want).mean() > 0.5, (got, want)
+
+    # the int8 KV-cache variant (decode_quant_cache, off by default after the
+    # on-chip A/B rejected it) still produces a valid EOS-consistent decode
+    with pltpu.force_tpu_interpret_mode():
+        got_c = np.asarray(
+            C.generate(trainable, frozen, ccfg, emb, max_length=10, temperature=0.0,
+                       top_p=1.0, use_pallas_decode=True, decode_quant=True,
+                       decode_quant_cache=True)
+        )
+    assert got_c.shape == want.shape
+    for row in got_c:
+        hit = np.where(row == 292)[0]
+        if len(hit):
+            assert (row[hit[0]:] == 292).all()
+    assert (got_c == want).mean() > 0.5
 
 
 def test_beam_generate_fused_matches_xla_path():
