@@ -68,7 +68,13 @@ def top_p_filter_bisect(logits: jnp.ndarray, top_p: float, iters: int = 32) -> j
     def body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        mass_above = jnp.sum(jnp.where(logits > mid, probs, 0.0), axis=-1, keepdims=True)
+        # compare in prob space against the exponentiated threshold so each
+        # iteration streams only the probs array (half the HBM bytes of
+        # reading logits + probs); probs > exp(mid − lse) ⟺ logits > mid up
+        # to 1-ulp exp rounding at the bracket boundary, and the final mask
+        # below uses the logits directly
+        thr = jnp.exp(mid - lse)
+        mass_above = jnp.sum(jnp.where(probs > thr, probs, 0.0), axis=-1, keepdims=True)
         keep_mid = mass_above <= top_p  # τ ≤ mid → tighten hi, else raise lo
         return jnp.where(keep_mid, lo, mid), jnp.where(keep_mid, mid, hi)
 
