@@ -122,6 +122,29 @@ def main() -> None:
     int8_img_s = batch * reps / (time.perf_counter() - t0)
     log(f"int8 decode: {int8_img_s:.0f} img/s")
 
+    # --- b=256 serving decode (256-row kernel blocks via tw=384 packing) ---
+    emb256 = jnp.asarray(
+        np.random.default_rng(3).normal(size=(256, 512)).astype(np.float32)
+    )
+    packed256 = C.prepare_decode_weights(trainable, frozen, ccfg, policy=policy, tw=384)
+
+    def ours_256():
+        return C.generate(
+            trainable, frozen, ccfg, emb256,
+            max_length=max_len, temperature=0.0, top_p=1.0, policy=policy,
+            packed=packed256,
+        )
+
+    log("compiling b=256 decode...")
+    np.asarray(ours_256())
+    np.asarray(ours_256())
+    t0 = time.perf_counter()
+    bouts = [ours_256() for _ in range(reps)]
+    for o in bouts:
+        np.asarray(o)
+    b256_img_s = 256 * reps / (time.perf_counter() - t0)
+    log(f"b=256 decode: {b256_img_s:.0f} img/s")
+
     # --- reference algorithm on the same chip: uncached O(L^2) decode ----
     # The reference's Python loop re-forwards the whole sequence every step
     # (src/models.py:389-395), so step t costs one full forward of length
@@ -236,6 +259,7 @@ def main() -> None:
                     "decode_batch_latency_ms_per_call_sync": round(ours_latency_ms, 1),
                     "sampled_decode_top_p_img_s": round(sampled_img_s, 1),
                     "int8_decode_img_s": round(int8_img_s, 1),
+                    "decode_b256_img_s": round(b256_img_s, 1),
                     "clip_vit_b32_encode_img_s": round(clip_img_s, 1),
                     "vs_reference_gpu_extraction_65_img_s": round(clip_img_s / 65.0, 1),
                     "train_step_captions_s_b128": round(train_caps_s, 1),

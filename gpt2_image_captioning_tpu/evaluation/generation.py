@@ -99,9 +99,11 @@ def generate_predictions(
         and C.DS.fused_greedy_enabled(model.cfg.gpt2, dec_pol, None)
     ):
         # pre-tile the weights for the fused decode kernel once per eval pass
-        # (greedy AND top-p sampled decode both ride the fused kernel now)
+        # (greedy AND top-p sampled decode both ride the fused kernel now);
+        # 256-divisible batches pack narrow tiles for 256-row kernel blocks
         packed = C.prepare_decode_weights(
-            dec_tr, dec_fz, model.cfg, dec_pol, quant=quant
+            dec_tr, dec_fz, model.cfg, dec_pol, quant=quant,
+            tw=384 if batch_size % 256 == 0 else None,
         )
 
     def dispatch(i, batch):

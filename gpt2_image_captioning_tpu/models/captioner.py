@@ -277,8 +277,11 @@ def generate(
         # The flagship serving path: ONE Pallas kernel per decode step runs
         # all layers + cached attention + logits argmax (ops/decode_step.py).
         if packed is None:
+            # 256-row-divisible batches pack narrow (tw=384) weight tiles so
+            # the kernel can run 256-row blocks (halved weight reads)
             packed = DS.pack_decode_weights(
-                gpt_params, policy.compute_dtype, quant=decode_quant
+                gpt_params, policy.compute_dtype, quant=decode_quant,
+                tw=384 if b % 256 == 0 else DS.TILE_W,
             )
 
         def step_kernel(packed, x0, cache_state, index):
@@ -372,7 +375,8 @@ def generate(
         # sharded sampled path keeps the XLA loop for mesh-size invariance.
         if packed is None:
             packed = DS.pack_decode_weights(
-                gpt_params, policy.compute_dtype, quant=decode_quant
+                gpt_params, policy.compute_dtype, quant=decode_quant,
+                tw=384 if b % 256 == 0 else DS.TILE_W,
             )
         wte, wpe = gpt_params["wte"], gpt_params["wpe"]
 
@@ -449,17 +453,21 @@ def generate(
     return tokens
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "policy", "quant"))
+@functools.partial(jax.jit, static_argnames=("cfg", "policy", "quant", "tw"))
 def prepare_decode_weights(trainable: dict, frozen: dict, cfg: CaptionerConfig,
-                           policy: Policy = F32, quant: bool = False) -> dict:
+                           policy: Policy = F32, quant: bool = False,
+                           tw: int | None = None) -> dict:
     """Pre-tile the GPT-2 weights for the fused greedy decode kernel.
 
     The fused step kernel streams weights as contiguous column tiles
     (ops/decode_step.py); this re-layout costs a few ms on device — compute
     it once per weight set and pass to :func:`generate` as ``packed``.
-    ``quant=True`` packs the int8 W8A8 serving tiles instead."""
+    ``quant=True`` packs the int8 W8A8 serving tiles instead; ``tw=384``
+    packs narrow tiles that let the kernel run 256-row batch blocks
+    (pick it when the serving batch is a multiple of 256)."""
     return DS.pack_decode_weights(
-        _gpt(trainable, frozen), policy.compute_dtype, quant=quant
+        _gpt(trainable, frozen), policy.compute_dtype, quant=quant,
+        tw=tw or DS.TILE_W,
     )
 
 
@@ -674,15 +682,16 @@ class ImageCaptioningModel:
         tr, fz, pol = self.decode_params("bf16" if quant else decode_precision)
         packed = None
         if DS.fused_greedy_enabled(self.cfg.gpt2, pol, None):
+            tw = 384 if jnp.asarray(image_embeddings).shape[0] % 256 == 0 else None
             # cache the kernel's pre-tiled weights, keyed on weight identity
             cache = getattr(self, "_packed_cache", None)
             if (
                 cache is None or cache[0] is not tr or cache[1] is not fz
-                or cache[2] is not pol or cache[3] != quant
+                or cache[2] is not pol or cache[3] != (quant, tw)
             ):
                 cache = (
-                    tr, fz, pol, quant,
-                    prepare_decode_weights(tr, fz, self.cfg, pol, quant=quant),
+                    tr, fz, pol, (quant, tw),
+                    prepare_decode_weights(tr, fz, self.cfg, pol, quant=quant, tw=tw),
                 )
                 self._packed_cache = cache
             packed = cache[4]

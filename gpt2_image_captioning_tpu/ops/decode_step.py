@@ -594,6 +594,8 @@ def fused_decode_step(
     emit_logits: bool = False,
     k_scale: jnp.ndarray | None = None,
     v_scale: jnp.ndarray | None = None,
+    block_b: int | None = None,
+    chunk_t: int | None = None,
 ) -> tuple[jnp.ndarray, ...]:
     """One fused decode step.
 
@@ -626,8 +628,19 @@ def fused_decode_step(
         assert k_scale is not None and v_scale is not None, "int8 cache needs scales"
     tw = packed["qkvw"].shape[3]
     vw = packed["wtet"].shape[2]
-    ct = min(CHUNK_T, tpad)
-    bb = min(BLOCK_B, -(-b // 8) * 8)  # batch is a tiled dim: 8-align blocks
+    # Batch blocking: each grid program streams ALL weights, so weight
+    # traffic multiplies by ceil(b / block_b).  At b ≥ 256 a 256-row block
+    # halves the weight reads (measured +24% at b=256, +20% at b=512 —
+    # docs/PERF_NOTES.md) but only fits the ~16 MB scoped VMEM with a
+    # narrower weight tile (tw=384 packing) and half-depth KV chunks — so
+    # the wide block engages exactly when the caller packed narrow tiles.
+    if block_b is None:
+        block_b = (
+            2 * BLOCK_B if (b % (2 * BLOCK_B) == 0 and tw <= 384) else BLOCK_B
+        )
+    bb = min(block_b, -(-b // 8) * 8)  # batch is a tiled dim: 8-align blocks
+    ct = chunk_t or (CHUNK_T // 2 if bb > BLOCK_B else CHUNK_T)
+    ct = min(ct, tpad)
     pad_b = (-b) % bb
     if pad_b:
         x0 = jnp.pad(x0, ((0, pad_b), (0, 0)))
@@ -724,7 +737,12 @@ def fused_decode_step(
             pltpu.VMEM((2, ct, bb, d), v_cache.dtype),
             pltpu.VMEM((bb, d), k_cache.dtype),
             pltpu.VMEM((bb, d), v_cache.dtype),
-            pltpu.VMEM((2, bb, vw), jnp.float32),
+            # logits staging only exists in emit_logits mode; a token dummy
+            # otherwise (1 MB matters: greedy at block_b=256 sits ~0.4 MB
+            # under the 16 MB scoped-VMEM limit)
+            pltpu.VMEM((2, bb, vw), jnp.float32)
+            if emit_logits
+            else pltpu.VMEM((1, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -369,6 +369,70 @@ def test_generate_fused_sampled_matches_xla_path():
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
+def test_fused_decode_step_multi_block_grid_matches_single():
+    """The batch-blocked grid (nb > 1 programs, each slicing its own cache
+    rows) produces identical tokens to one whole-batch program — exercises
+    the bi-indexed DMA slicing that large-batch serving relies on."""
+    from gpt2_image_captioning_tpu.models import gpt2
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+    cfg = gpt2.GPT2Config(vocab_size=293, n_positions=128, n_embd=32, n_layer=2, n_head=2)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(17)
+    b, p_len = 24, 5
+    prefix = jnp.asarray(rng.normal(size=(b, p_len, cfg.n_embd)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, b, p_len + 3)
+    logits0, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32)
+
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    idx = cache["index"]
+    x0 = gpt2.embed_tokens(params, tok[:, None])[:, 0] + params["wpe"][idx]
+    one, k1, v1 = DS.fused_decode_step(
+        packed, x0.astype(jnp.float32), cache["k"], cache["v"], idx,
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        block_b=24, chunk_t=8,
+    )
+    three, k3, v3 = DS.fused_decode_step(
+        packed, x0.astype(jnp.float32), cache["k"], cache["v"], idx,
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        block_b=8, chunk_t=8,
+    )
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(three))
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v3), atol=1e-6)
+
+
+def test_fused_decode_narrow_tile_packing_matches():
+    """tw=384-style narrow weight tiles (used for 256-row serving blocks)
+    give the same results as the default packing."""
+    from gpt2_image_captioning_tpu.models import gpt2
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+    cfg = gpt2.GPT2Config(vocab_size=293, n_positions=128, n_embd=32, n_layer=2, n_head=2)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(19)
+    b, p_len = 4, 5
+    prefix = jnp.asarray(rng.normal(size=(b, p_len, cfg.n_embd)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, b, p_len + 3)
+    logits0, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    idx = cache["index"]
+    x0 = (gpt2.embed_tokens(params, tok[:, None])[:, 0] + params["wpe"][idx]).astype(
+        jnp.float32
+    )
+
+    outs = []
+    for tw in (DS.TILE_W, 64):  # 64 plays the "narrow tile" role at d=32
+        packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32, tw=tw)
+        nxt, _, _ = DS.fused_decode_step(
+            packed, x0, cache["k"], cache["v"], idx,
+            n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        )
+        outs.append(np.asarray(nxt))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_fused_decode_step_int8_close_to_f32():
     """W8A8 quantized fused step (interpret): logits within quantization
     noise of the f32 layerwise path, caches likewise."""
