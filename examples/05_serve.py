@@ -1,0 +1,39 @@
+"""Serve image → caption over HTTP with the end-to-end pipeline: C++/PIL
+decode + CLIP encode + fused GPT-2 decode per request, one compiled program
+per stage (``serving.py``).  A capability the reference lacks (its flow stops
+at offline scripts).
+
+  curl -X POST --data-binary @photo.jpg http://localhost:5152/caption
+"""
+
+from safetensors.numpy import load_file
+
+from gpt2_image_captioning_tpu.core.config import load_config
+from gpt2_image_captioning_tpu.data.tokenizer import load_gpt2_tokenizer
+from gpt2_image_captioning_tpu.models.clip import CLIPVisionConfig
+from gpt2_image_captioning_tpu.models.gpt2 import GPT2Config
+from gpt2_image_captioning_tpu.models.porting import port_clip_vision, port_gpt2
+from gpt2_image_captioning_tpu.serving import CaptionService, serve_http
+from gpt2_image_captioning_tpu.training_pipeline import build_model
+
+cfg = load_config("config.yml")
+tokenizer = load_gpt2_tokenizer()
+gpt_params = port_gpt2(
+    load_file("assets/checkpoints/gpt2.safetensors"), GPT2Config.gpt2_124m()
+)
+model = build_model(cfg, tokenizer, gpt_params=gpt_params)
+model.load_saved_parameters("coco_data/checkpoints/best_model_epoch_3.npz")
+
+vcfg = CLIPVisionConfig.vit_b32()
+vparams = port_clip_vision(
+    load_file("assets/checkpoints/clip_vit_b32.safetensors"), vcfg
+)
+
+service = CaptionService(
+    model, vparams, vcfg, encoder="clip", batch_size=64,
+    temperature=cfg.validation.temperature, top_p=cfg.validation.top_p,
+    decode_precision="bf16",  # or "int8" for max throughput
+)
+server = serve_http(service, port=5152)
+print("captioning at http://localhost:5152/caption  (POST image bytes)")
+server.serve_forever()

@@ -1,0 +1,223 @@
+"""End-to-end image → caption serving.
+
+The reference stops at scripts (extract embeddings to ``.pt``, then caption
+from the files); a production deployment wants one object that takes images
+and returns captions.  ``CaptionService`` packages the whole pipeline
+TPU-first:
+
+- **host**: JPEG decode + resize/crop (C++ imagepipe when built, PIL
+  otherwise — the same geometry contracts as the extractors,
+  ``embeddings/preprocess.py``),
+- **device**: ONE compiled program per stage at a fixed serving batch shape
+  (normalize → vision encoder → L2-norm; then mapper → fused whole-step
+  GPT-2 decode, ``ops/decode_step.py``) — requests are padded up to the
+  serving batch and sliced back, so no request shape ever recompiles,
+- **host**: BPE decode.
+
+Weights stay packed for the fused decode kernel across requests (the model
+facade caches them, keyed on weight identity), and ``decode_precision``
+selects f32 parity / bf16 / int8-W8A8 serving.
+
+``serve_http`` wraps a service in a dependency-free stdlib HTTP endpoint
+(POST an image body to ``/caption`` → JSON), mirroring the viz server's
+zero-dependency approach (``viz/server.py``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from gpt2_image_captioning_tpu.embeddings.preprocess import (
+    SPECS,
+    normalize_on_device,
+    resize_and_crop,
+)
+
+
+class CaptionService:
+    """images → captions with fixed-shape compiled device stages.
+
+    ``model``: an ``ImageCaptioningModel`` (with tokenizer).
+    ``encode_fn``: jittable ``(params, cfg, pixels, policy, normalize) ->
+    (B, D) embeddings`` — e.g. ``models.clip.encode_image``; selected via
+    ``encoder`` when not given.
+    """
+
+    def __init__(
+        self,
+        model,
+        vision_params,
+        vision_cfg,
+        *,
+        encoder: str = "clip",
+        encode_fn=None,
+        batch_size: int = 64,
+        max_length: int = 50,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        decode_precision: str | None = None,
+        policy=None,
+    ):
+        from gpt2_image_captioning_tpu.core.precision import BF16
+
+        if encode_fn is None:
+            if encoder == "clip":
+                from gpt2_image_captioning_tpu.models.clip import encode_image
+            elif encoder == "vit":
+                from gpt2_image_captioning_tpu.models.vit import encode_image
+            elif encoder == "dino":
+                from gpt2_image_captioning_tpu.models.dino import encode_image
+            else:
+                raise ValueError(f"unknown encoder {encoder!r}")
+            encode_fn = encode_image
+        self.model = model
+        spec = SPECS[encoder]
+        # geometry follows the vision model's actual input size (the standard
+        # specs assume the 224-px production towers; tiny test configs and
+        # alternative resolutions scale the resize step proportionally)
+        size = getattr(vision_cfg, "image_size", None)
+        base = spec.crop or spec.resize
+        if size and size != base:
+            import dataclasses as _dc
+
+            spec = _dc.replace(
+                spec,
+                resize=max(1, round(spec.resize * size / base)),
+                crop=size if spec.crop else None,
+            )
+        self.spec = spec
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.temperature = temperature
+        self.top_p = top_p
+        self.decode_precision = decode_precision
+        policy = policy or BF16
+        self._stats = {"images": 0, "requests": 0, "device_s": 0.0}
+
+        import jax.numpy as jnp
+
+        spec = self.spec
+
+        @jax.jit
+        def _encode(vparams, batch_u8):
+            px = normalize_on_device(batch_u8, spec)
+            return encode_fn(vparams, vision_cfg, px, policy=policy, normalize=True)
+
+        self._encode = _encode
+        self._vparams = vision_params
+        self._jnp = jnp
+
+    # -- input adapters ------------------------------------------------------
+    def _to_square_u8(self, rgb: np.ndarray) -> np.ndarray:
+        return resize_and_crop(np.asarray(rgb, np.uint8), self.spec)
+
+    def caption_arrays(self, images: Sequence[np.ndarray]) -> list[str]:
+        """uint8 RGB arrays (any sizes) → captions, in order."""
+        n = len(images)
+        if n == 0:
+            return []
+        prepped = np.stack([self._to_square_u8(im) for im in images])
+        captions: list[str] = []
+        t0 = time.perf_counter()
+        for start in range(0, n, self.batch_size):
+            chunk = prepped[start : start + self.batch_size]
+            k = len(chunk)
+            if k < self.batch_size:  # pad to the fixed serving shape
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], self.batch_size - k, axis=0)]
+                )
+            emb = self._encode(self._vparams, self._jnp.asarray(chunk))
+            caps = self.model.generate_captions(
+                emb,
+                max_length=self.max_length,
+                temperature=self.temperature,
+                top_p=self.top_p,
+                decode_precision=self.decode_precision,
+            )
+            captions.extend(caps[:k])
+        self._stats["images"] += n
+        self._stats["requests"] += 1
+        self._stats["device_s"] += time.perf_counter() - t0
+        return captions
+
+    def caption_bytes(self, blobs: Sequence[bytes]) -> list[str]:
+        """Encoded image bytes (JPEG/PNG/...) → captions."""
+        from PIL import Image
+
+        arrays = [
+            np.asarray(Image.open(io.BytesIO(b)).convert("RGB"), np.uint8)
+            for b in blobs
+        ]
+        return self.caption_arrays(arrays)
+
+    def caption_paths(self, paths: Sequence[str]) -> list[str]:
+        from PIL import Image
+
+        arrays = [np.asarray(Image.open(p).convert("RGB"), np.uint8) for p in paths]
+        return self.caption_arrays(arrays)
+
+    def caption_dir(self, image_dir: str) -> dict[str, str]:
+        """Caption every image in a directory → {filename: caption}."""
+        from gpt2_image_captioning_tpu.data.images import ImageDirectory
+
+        d = ImageDirectory(image_dir)
+        caps = self.caption_arrays([d.load_rgb(i) for i in range(len(d))])
+        return {d.filenames[i]: caps[i] for i in range(len(d))}
+
+    @property
+    def stats(self) -> dict:
+        s = dict(self._stats)
+        if s["device_s"] > 0:
+            s["img_per_s"] = s["images"] / s["device_s"]
+        return s
+
+
+def serve_http(service: CaptionService, host: str = "127.0.0.1", port: int = 5152):
+    """Minimal stdlib HTTP endpoint around a service.
+
+    - ``POST /caption`` with an encoded image body → ``{"caption": str}``
+    - ``GET /healthz`` → ``{"ok": true, ...stats}``
+
+    Returns the ``HTTPServer`` (call ``serve_forever()`` or drive it from a
+    thread; tests use ``handle_request()``).
+    """
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, **service.stats})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/caption":
+                self._json(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            blob = self.rfile.read(length)
+            try:
+                caption = service.caption_bytes([blob])[0]
+            except Exception as e:  # malformed image etc.
+                self._json(400, {"error": str(e)})
+                return
+            self._json(200, {"caption": caption})
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return HTTPServer((host, port), Handler)

@@ -1,0 +1,137 @@
+"""End-to-end serving: images → captions through CaptionService + HTTP."""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpt2_image_captioning_tpu.models import captioner as C
+from gpt2_image_captioning_tpu.models import clip as CL
+from gpt2_image_captioning_tpu.models import gpt2 as G
+from gpt2_image_captioning_tpu.models import mapping as M
+from gpt2_image_captioning_tpu.serving import CaptionService, serve_http
+
+from helpers import tiny_tokenizer
+
+
+@pytest.fixture(scope="module")
+def service():
+    from gpt2_image_captioning_tpu.core.precision import F32
+
+    vcfg = CL.CLIPVisionConfig.tiny()
+    vparams = CL.init_vision(jax.random.PRNGKey(0), vcfg)
+    tok = tiny_tokenizer()
+    gcfg = G.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2, n_head=2
+    )
+    mcfg = M.MLPMappingConfig(
+        prefix_length=2, embed_dim=vcfg.projection_dim, gpt_dim=32
+    )
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1)
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    svc = CaptionService(
+        model, vparams, vcfg, encoder="clip", batch_size=4, max_length=6,
+        temperature=0.0, top_p=1.0, policy=F32,
+    )
+    return svc, vparams, vcfg, model
+
+
+def _imgs(n, rng):
+    # variable sizes: the service owns resize/crop
+    return [
+        rng.integers(0, 255, size=(40 + 7 * i, 52 - 3 * i, 3)).astype(np.uint8)
+        for i in range(n)
+    ]
+
+
+def test_caption_arrays_order_and_padding(service):
+    svc, *_ = service
+    rng = np.random.default_rng(0)
+    caps = svc.caption_arrays(_imgs(3, rng))  # 3 < batch_size=4 → padded tail
+    assert len(caps) == 3
+    assert all(isinstance(c, str) for c in caps)
+    # a bigger request spans two device batches; same images → same captions
+    caps2 = svc.caption_arrays(_imgs(3, np.random.default_rng(0)))
+    assert caps == caps2
+    assert svc.stats["images"] == 6
+
+
+def test_matches_manual_pipeline(service):
+    """The service == hand-composed preprocess→encode→generate_captions."""
+    from gpt2_image_captioning_tpu.embeddings.preprocess import (
+        SPECS,
+        normalize_on_device,
+        resize_and_crop,
+    )
+
+    svc, vparams, vcfg, model = service
+    rng = np.random.default_rng(1)
+    imgs = _imgs(4, rng)
+    want_u8 = np.stack([resize_and_crop(im, svc.spec) for im in imgs])
+
+    @jax.jit
+    def enc(vp, u8):
+        from gpt2_image_captioning_tpu.core.precision import F32
+
+        px = normalize_on_device(u8, svc.spec)
+        return CL.encode_image(vp, vcfg, px, policy=F32, normalize=True)
+
+    emb = enc(vparams, jnp.asarray(want_u8))
+    want = model.generate_captions(emb, max_length=6, temperature=0.0, top_p=1.0)
+    got = svc.caption_arrays(imgs)
+    assert got == want
+
+
+def test_caption_bytes_decodes_images(service):
+    from PIL import Image
+
+    svc, *_ = service
+    rng = np.random.default_rng(2)
+    blobs = []
+    for im in _imgs(2, rng):
+        buf = io.BytesIO()
+        Image.fromarray(im).save(buf, format="PNG")
+        blobs.append(buf.getvalue())
+    caps = svc.caption_bytes(blobs)
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+
+
+def test_http_endpoint(service):
+    from PIL import Image
+
+    svc, *_ = service
+    server = serve_http(svc, host="127.0.0.1", port=0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] is True
+
+        buf = io.BytesIO()
+        Image.fromarray(_imgs(1, np.random.default_rng(3))[0]).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert isinstance(out["caption"], str)
+
+        # malformed body → 400, not a crash
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=b"not an image", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
