@@ -548,20 +548,36 @@ def beam_generate(
 
     def step_fn(carry, step):
         scores, tokens, finished, lengths, logits, cache = carry
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
-        v = logp.shape[-1]
+        lf = logits.astype(jnp.float32)  # (B·K, V)
+
+        # Union-of-per-beam-top-k: every global top-k candidate is in its own
+        # beam's top-k (within a beam, ranking by score+logp == ranking by
+        # raw logits), so instead of materializing the (B, K·V) candidate
+        # tensor and top-k'ing 201k entries — several wide HBM passes — take
+        # each beam's k best tokens (k linear argmax passes over the raw
+        # logits) and combine the K·K survivors.  Tie order matches the flat
+        # (beam-major, then vocab) rule exactly: candidates are laid out
+        # beam-major and both top-k stages break ties toward lower index.
+        vals, tok_k = topk_small(lf, k)  # (B·K, k) raw logits descending
+        lse = jax.nn.logsumexp(lf, axis=-1, keepdims=True)
+        logp_k = (vals - lse).reshape(b, k, k)
+        tok_k = tok_k.reshape(b, k, k)
 
         # finished beams may only "continue" with EOS at no score change
-        frozen_logp = jnp.full((v,), neg_inf, jnp.float32).at[eos].set(0.0)
-        logp = jnp.where(finished[..., None], frozen_logp[None, None, :], logp)
+        logp_k = jnp.where(finished[:, :, None], neg_inf, logp_k)
+        logp_k = logp_k.at[:, :, 0].set(
+            jnp.where(finished, 0.0, logp_k[:, :, 0])
+        )
+        tok_k = tok_k.at[:, :, 0].set(
+            jnp.where(finished, eos, tok_k[:, :, 0])
+        )
 
-        cand = scores[..., None] + logp  # (B, K, V)
-        flat = cand.reshape(b, k * v)
-        # k sequential masked argmaxes == lax.top_k incl. tie order, ~25x
-        # cheaper on TPU at small k (ops/sampling.py::topk_small)
-        new_scores, flat_idx = topk_small(flat, k)  # (B, K)
-        parent = flat_idx // v  # (B, K) beam index
-        tok = (flat_idx % v).astype(jnp.int32)  # (B, K)
+        cand = (scores[..., None] + logp_k).reshape(b, k * k)
+        new_scores, ci = topk_small(cand, k)  # (B, K) over K·K entries
+        parent = ci // k  # (B, K) beam index
+        tok = jnp.take_along_axis(tok_k.reshape(b, k * k), ci, axis=-1).astype(
+            jnp.int32
+        )
 
         # reorder beam state along parents
         batch_idx = jnp.arange(b)[:, None]
