@@ -1,4 +1,11 @@
-"""The fused GPT-2 greedy decode STEP as one Pallas TPU kernel.
+"""The fused GPT-2 decode STEP as one Pallas TPU kernel.
+
+Modes: greedy (in-kernel streamed argmax — the default serving path),
+``emit_logits`` (full logits streamed to HBM for top-p sampling / beam
+search), int8 W8A8 weights (``pack_decode_weights(quant=True)``), optional
+int8 KV cache, and 128/256-row batch blocks (wide blocks need the narrow
+tw=384 weight packing for VMEM).  Measured trade-offs in
+docs/PERF_NOTES.md.
 
 Round-2 on-chip measurements (docs/PERF_NOTES.md) showed each ``pallas_call``
 carries ~100 µs fixed overhead on this backend, so per-op kernels can never

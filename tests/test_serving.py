@@ -103,6 +103,23 @@ def test_caption_bytes_decodes_images(service):
     assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
 
 
+def test_caption_dir_streams_loader(service, tmp_path):
+    """caption_dir (prefetching loader path) == caption_paths on the same
+    files, keyed by filename."""
+    from PIL import Image
+
+    svc, *_ = service
+    rng = np.random.default_rng(4)
+    paths = []
+    for i, im in enumerate(_imgs(5, rng)):
+        p = tmp_path / f"im_{i}.jpg"
+        Image.fromarray(im).save(p, quality=95)
+        paths.append(str(p))
+    want = svc.caption_paths(paths)
+    got = svc.caption_dir(str(tmp_path), num_workers=2)
+    assert [got[f"im_{i}.jpg"] for i in range(5)] == want
+
+
 def test_http_endpoint(service):
     from PIL import Image
 
