@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 IGNORE_INDEX = -100
 NEG_INF = jnp.finfo(jnp.float32).min
-DEFAULT_CHUNK = 4096
+DEFAULT_CHUNK = 2048  # best of the on-chip sweep 1024/2048/4096/8192 (train_ab2)
 
 
 def _pad_vocab(wte: jnp.ndarray, chunk: int) -> tuple[jnp.ndarray, int]:

@@ -133,7 +133,7 @@ def main() -> None:
     h0 = jnp.asarray(rng.normal(size=(n_rows, 768)).astype(np.float32)).astype(jnp.bfloat16)
     labels = jnp.asarray(rng.integers(0, 50256, size=(n_rows,)).astype(np.int32))
 
-    for chunk in (4096, 8192, 16384):
+    for chunk in (1024, 2048, 4096, 8192):
 
         @jax.jit
         def xg_loop(h, wte, labels, chunk=chunk):
