@@ -369,6 +369,50 @@ def test_generate_fused_sampled_matches_xla_path():
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
+@pytest.mark.parametrize(
+    "b,p_len,vocab,n_layer,n_head,d",
+    [
+        (1, 1, 97, 1, 1, 16),    # degenerate: single row, single layer/head
+        (5, 9, 131, 3, 4, 32),   # odd batch, vocab not a tile multiple
+        (9, 2, 640, 2, 2, 48),   # vocab > logits tile, 3-head-unfriendly d
+        (16, 6, 257, 4, 8, 64),  # deeper stack, aligned batch
+    ],
+)
+def test_fused_decode_step_shape_fuzz(b, p_len, vocab, n_layer, n_head, d):
+    """The fused kernel's padding/tiling logic across irregular shapes:
+    tokens == layerwise XLA path for several chained steps."""
+    from gpt2_image_captioning_tpu.models import gpt2
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+    cfg = gpt2.GPT2Config(
+        vocab_size=vocab, n_positions=64, n_embd=d, n_layer=n_layer, n_head=n_head
+    )
+    params = gpt2.init(jax.random.PRNGKey(b + vocab), cfg)
+    rng = np.random.default_rng(b)
+    prefix = jnp.asarray(rng.normal(size=(b, p_len, d)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, b, p_len + 3)
+    logits0, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32)
+
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    cache_f = dict(cache)
+    tok_f = tok
+    for _ in range(2):
+        emb = gpt2.embed_tokens(params, tok[:, None])
+        logits, cache = gpt2.forward_cached(params, cfg, emb, cache, use_pallas_decode=False)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        idx = cache_f["index"]
+        x0 = gpt2.embed_tokens(params, tok_f[:, None])[:, 0] + params["wpe"][idx]
+        nxt, kc, vc = DS.fused_decode_step(
+            packed, x0.astype(jnp.float32), cache_f["k"], cache_f["v"], idx,
+            n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        )
+        cache_f = {"k": kc, "v": vc, "index": idx + 1}
+        tok_f = nxt
+        np.testing.assert_array_equal(np.asarray(tok), np.asarray(nxt))
+
+
 def test_fused_decode_step_multi_block_grid_matches_single():
     """The batch-blocked grid (nb > 1 programs, each slicing its own cache
     rows) produces identical tokens to one whole-batch program — exercises

@@ -120,6 +120,45 @@ def test_caption_dir_streams_loader(service, tmp_path):
     assert [got[f"im_{i}.jpg"] for i in range(5)] == want
 
 
+def test_service_int8_precision(service):
+    """decode_precision='int8' works through the service (facade mapping)."""
+    svc, vparams, vcfg, model = service
+    from gpt2_image_captioning_tpu.core.precision import F32
+    from gpt2_image_captioning_tpu.serving import CaptionService
+
+    svc8 = CaptionService(
+        model, vparams, vcfg, batch_size=4, max_length=5, temperature=0.0,
+        top_p=1.0, decode_precision="int8", policy=F32,
+    )
+    caps = svc8.caption_arrays(_imgs(2, np.random.default_rng(5)))
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+
+
+def test_service_vit_encoder():
+    """The service composes with the ViT tower too (encoder='vit')."""
+    from gpt2_image_captioning_tpu.core.precision import F32
+    from gpt2_image_captioning_tpu.models import vit as VT
+    from gpt2_image_captioning_tpu.serving import CaptionService
+
+    tok = tiny_tokenizer()
+    vcfg = VT.ViTConfig.tiny()
+    vparams = VT.init(jax.random.PRNGKey(0), vcfg)
+    gcfg = G.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2, n_head=2
+    )
+    mcfg = M.MLPMappingConfig(
+        prefix_length=2, embed_dim=vcfg.hidden_size, gpt_dim=32
+    )
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1)
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    svc = CaptionService(
+        model, vparams, vcfg, encoder="vit", batch_size=4, max_length=5,
+        temperature=0.0, top_p=1.0, policy=F32,
+    )
+    caps = svc.caption_arrays(_imgs(2, np.random.default_rng(6)))
+    assert len(caps) == 2
+
+
 def test_http_endpoint(service):
     from PIL import Image
 
