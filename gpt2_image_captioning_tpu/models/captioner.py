@@ -50,6 +50,11 @@ class CaptionerConfig:
     task_prompt_ids: tuple[int, ...] | None = None
     freeze_gpt_weights: bool = True
     eos_token_id: int = 50256
+    # per-layer jax.checkpoint in the training forward: trades one extra
+    # block forward for O(1)-in-depth activation memory — the standard TPU
+    # remat lever for scaling UNFROZEN fine-tuning to batch/sequence sizes
+    # that would not otherwise fit HBM.  Identical loss/gradients.
+    remat: bool = False
 
     @property
     def image_prefix_length(self) -> int:
@@ -171,6 +176,7 @@ def loss_fn(
     hidden = G.forward_hidden(
         gpt_params, cfg.gpt2, inputs, mask, policy,
         unroll_layers=cfg.freeze_gpt_weights,
+        remat=cfg.remat,
     )
     # shifted next-token CE via the vocab-chunked op (ops/xent.py) — the
     # (B·T, V) logits/softmax never materialize and the backward is

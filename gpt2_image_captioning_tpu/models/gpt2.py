@@ -163,6 +163,7 @@ def forward_hidden(
     attention_mask: jnp.ndarray | None = None,
     policy: Policy = F32,
     unroll_layers: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Full-sequence causal forward → final-LayerNorm hidden states (B, T, D).
 
@@ -175,18 +176,34 @@ def forward_hidden(
     ``jax.grad`` with a FROZEN decoder, partial evaluation then drops the
     (unused) weight-gradient matmuls, which scan's transpose computes and
     discards — use it for frozen-backbone training.
+
+    ``remat=True`` wraps each transformer block in ``jax.checkpoint``
+    (per-layer rematerialization): the backward recomputes block activations
+    instead of keeping them live, cutting peak activation memory from
+    O(n_layer·B·T·D) to O(B·T·D) at the cost of one extra forward — the
+    standard TPU trade for scaling unfrozen training to batch/sequence sizes
+    that would not otherwise fit HBM.  Identical loss and gradients.
     """
     b, t, d = inputs_embeds.shape
     pos = params["wpe"][:t].astype(jnp.float32)
     x = (inputs_embeds.astype(jnp.float32) + pos[None]).astype(policy.compute_dtype)
 
+    if remat:
+        ckpt = jax.checkpoint(
+            lambda bp, x, m: _block(bp, cfg, x, key_mask=m, policy=policy),
+            prevent_cse=False,  # scan/unrolled loops don't need the CSE guard
+        )
+        block = lambda bp, c, x, key_mask, policy: ckpt(bp, x, key_mask)  # noqa: E731
+    else:
+        block = _block
+
     if unroll_layers:
         for i in range(cfg.n_layer):
             bp = jax.tree.map(lambda p: p[i], params["blocks"])
-            x = _block(bp, cfg, x, key_mask=attention_mask, policy=policy)
+            x = block(bp, cfg, x, key_mask=attention_mask, policy=policy)
     else:
         def body(x, bp):
-            return _block(bp, cfg, x, key_mask=attention_mask, policy=policy), None
+            return block(bp, cfg, x, key_mask=attention_mask, policy=policy), None
 
         x, _ = jax.lax.scan(body, x, params["blocks"])
     return nn.layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)

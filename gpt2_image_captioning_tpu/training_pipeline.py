@@ -41,6 +41,7 @@ def build_model(cfg: Config, tokenizer, gpt_params=None, gpt_config=None) -> C.I
         task_prompt_ids=task_ids,
         freeze_gpt_weights=cfg.image_captioning.get("freeze_gpt_weights", True),
         eos_token_id=tokenizer.eos_token_id,
+        remat=bool(cfg.get("tpu", {}).get("remat", False)),
     )
     policy = BF16 if cfg.get("tpu", {}).get("compute_dtype", "bfloat16") == "bfloat16" else F32
     return C.ImageCaptioningModel(

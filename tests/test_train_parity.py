@@ -127,3 +127,47 @@ def test_one_optimizer_step_matches_torch():
         np.asarray(new_tr["mapping"]["fc2"]["w"]).T, torch_fc2, atol=2e-5,
         err_msg="fc2 after one AdamW step",
     )
+
+
+def test_remat_identical_loss_and_grads():
+    """Per-layer jax.checkpoint (cfg.remat) changes memory, not math: loss
+    and gradients (including GPT weight grads, unfrozen) match bit-for-bit
+    tolerance with the non-remat forward."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    gcfg = G.GPT2Config(vocab_size=211, n_positions=32, n_embd=32, n_layer=3, n_head=4)
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=16, gpt_dim=32)
+    base = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=210, freeze_gpt_weights=False
+    )
+    trainable, frozen = C.init_params(jax.random.PRNGKey(0), base)
+    rng = np.random.default_rng(3)
+    batch = {
+        "token_ids": jnp.asarray(rng.integers(0, 211, (4, 9)).astype(np.int32)),
+        "labels": jnp.asarray(rng.integers(0, 211, (4, 9)).astype(np.int32)),
+        "attention_mask": jnp.asarray(np.ones((4, 9), np.int32)),
+        "image_embedding": jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32)),
+    }
+
+    def mean_loss_for(cfg):
+        return jax.value_and_grad(
+            lambda tr: C.mean_loss(tr, frozen, cfg, batch)
+        )(trainable)
+
+    loss0, g0 = mean_loss_for(base)
+    loss1, g1 = mean_loss_for(dataclasses.replace(base, remat=True))
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        ),
+        g0, g1,
+    )
