@@ -26,7 +26,7 @@ TPU mapping:
   (L, n_tiles, d_in, TW) contiguous column tiles; a double-buffered DMA walk
   overlaps each tile's fetch with the previous tile's MXU matmul.  VMEM holds
   ~2 tiles (≤ 3 MB), never a whole layer.
-- **KV cache (L, B, T, D) stays in HBM**; per layer the kernel walks only
+- **KV cache (L, T, B, D) stays in HBM**; per layer the kernel walks only
   ``ceil(idx/CT)`` chunks with double-buffered DMA and an online softmax
   (same scheme as ops/decode_attention.py, which remains the unit-testable
   building block).  The new token's K/V are written back by DMA into row
@@ -461,7 +461,7 @@ def fused_greedy_enabled(gpt_cfg, policy, use_pallas_decode: bool | None) -> boo
     """
     import os
 
-    if os.environ.get("GIC_DISABLE_FUSED_DECODE"):
+    if os.environ.get("GIC_DISABLE_FUSED_DECODE") not in (None, "", "0"):
         return False
     if use_pallas_decode is False:
         return False
@@ -648,6 +648,10 @@ def fused_decode_step(
     bb = min(block_b, -(-b // 8) * 8)  # batch is a tiled dim: 8-align blocks
     ct = chunk_t or (CHUNK_T // 2 if bb > BLOCK_B else CHUNK_T)
     ct = min(ct, tpad)
+    # the chunk walk reads rows [c*ct, (c+1)*ct): a non-dividing ct would let
+    # the final chunk DMA run past the cache (init_cache pads T to 16, so the
+    # default ct of 4/8 always divides)
+    assert tpad % ct == 0, (tpad, ct)
     pad_b = (-b) % bb
     if pad_b:
         x0 = jnp.pad(x0, ((0, pad_b), (0, 0)))

@@ -31,6 +31,7 @@ import time
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gpt2_image_captioning_tpu.embeddings.preprocess import (
@@ -63,6 +64,8 @@ class CaptionService:
         top_p: float = 0.9,
         decode_precision: str | None = None,
         policy=None,
+        spec=None,
+        rng: jax.Array | None = None,
     ):
         from gpt2_image_captioning_tpu.core.precision import BF16
 
@@ -77,7 +80,14 @@ class CaptionService:
                 raise ValueError(f"unknown encoder {encoder!r}")
             encode_fn = encode_image
         self.model = model
-        spec = SPECS[encoder]
+        # a custom encode_fn may carry its own PreprocessSpec; named encoders
+        # default to their standard spec
+        if spec is None:
+            if encoder not in SPECS:
+                raise ValueError(
+                    f"unknown encoder {encoder!r}; pass spec= with a custom encode_fn"
+                )
+            spec = SPECS[encoder]
         # geometry follows the vision model's actual input size (the standard
         # specs assume the 224-px production towers; tiny test configs and
         # alternative resolutions scale the resize step proportionally)
@@ -99,19 +109,26 @@ class CaptionService:
         self.decode_precision = decode_precision
         policy = policy or BF16
         self._stats = {"images": 0, "requests": 0, "device_s": 0.0}
+        # sampled decoding (temperature > 0) advances this key per device
+        # batch so repeated requests draw fresh captions; pass rng= for
+        # reproducible serving
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._draws = 0
 
-        import jax.numpy as jnp
-
-        spec = self.spec
+        final_spec = self.spec
 
         @jax.jit
         def _encode(vparams, batch_u8):
-            px = normalize_on_device(batch_u8, spec)
+            px = normalize_on_device(batch_u8, final_spec)
             return encode_fn(vparams, vision_cfg, px, policy=policy, normalize=True)
 
         self._encode = _encode
         self._vparams = vision_params
-        self._jnp = jnp
+
+    def _next_rng(self) -> jax.Array:
+        """A fresh per-device-batch key (greedy decode ignores it)."""
+        self._draws += 1
+        return jax.random.fold_in(self._rng, self._draws)
 
     # -- input adapters ------------------------------------------------------
     def _to_square_u8(self, rgb: np.ndarray) -> np.ndarray:
@@ -132,12 +149,13 @@ class CaptionService:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], self.batch_size - k, axis=0)]
                 )
-            emb = self._encode(self._vparams, self._jnp.asarray(chunk))
+            emb = self._encode(self._vparams, jnp.asarray(chunk))
             caps = self.model.generate_captions(
                 emb,
                 max_length=self.max_length,
                 temperature=self.temperature,
                 top_p=self.top_p,
+                rng=self._next_rng(),
                 decode_precision=self.decode_precision,
             )
             captions.extend(caps[:k])
@@ -177,12 +195,13 @@ class CaptionService:
         out: dict[str, str] = {}
         t0 = time.perf_counter()
         for names, batch_u8, valid in loader:
-            emb = self._encode(self._vparams, self._jnp.asarray(batch_u8))
+            emb = self._encode(self._vparams, jnp.asarray(batch_u8))
             caps = self.model.generate_captions(
                 emb,
                 max_length=self.max_length,
                 temperature=self.temperature,
                 top_p=self.top_p,
+                rng=self._next_rng(),
                 decode_precision=self.decode_precision,
             )
             for name, cap in zip(names, caps):
@@ -230,12 +249,23 @@ def serve_http(service: CaptionService, host: str = "127.0.0.1", port: int = 515
             if self.path != "/caption":
                 self._json(404, {"error": "not found"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._json(411, {"error": "missing or malformed Content-Length"})
+                return
             blob = self.rfile.read(length)
+            from PIL import Image, UnidentifiedImageError
+
+            try:
+                Image.open(io.BytesIO(blob)).verify()  # client-input check
+            except (UnidentifiedImageError, OSError, ValueError) as e:
+                self._json(400, {"error": f"not a decodable image: {e}"})
+                return
             try:
                 caption = service.caption_bytes([blob])[0]
-            except Exception as e:  # malformed image etc.
-                self._json(400, {"error": str(e)})
+            except Exception as e:  # device/compile failures are OUR fault
+                self._json(500, {"error": str(e)})
                 return
             self._json(200, {"caption": caption})
 

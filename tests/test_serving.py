@@ -159,6 +159,27 @@ def test_service_vit_encoder():
     assert len(caps) == 2
 
 
+def test_sampled_serving_rng_advances_and_is_reproducible(service):
+    """temperature>0 serving draws a fresh key per device batch (repeat
+    requests aren't frozen to PRNGKey(0)); an explicit rng reproduces."""
+    svc, vparams, vcfg, model = service
+    from gpt2_image_captioning_tpu.core.precision import F32
+    from gpt2_image_captioning_tpu.serving import CaptionService
+
+    def make(seed):
+        return CaptionService(
+            model, vparams, vcfg, batch_size=4, max_length=6, temperature=0.9,
+            top_p=0.9, policy=F32, rng=jax.random.PRNGKey(seed),
+        )
+
+    a, b = make(7), make(7)
+    imgs = _imgs(2, np.random.default_rng(8))
+    assert a.caption_arrays(imgs) == b.caption_arrays(imgs)  # reproducible
+    assert a._draws == 1
+    a.caption_arrays(imgs)
+    assert a._draws == 2  # later requests use advanced keys
+
+
 def test_http_endpoint(service):
     from PIL import Image
 
