@@ -69,3 +69,18 @@ def test_tiny_model_memorizes_captions(tmp_path):
     )
     beam_caps = tok.batch_decode(_np.asarray(beam_ids), skip_special_tokens=True)
     assert beam_caps == captions, f"beam decode diverged: {beam_caps}"
+
+    # int8 W8A8 quantized decode on the TRAINED model: random-init logits
+    # are quantization's adversarial case (near-flat → easy flips), but a
+    # trained model's confident logits must survive int8 verbatim — the
+    # accuracy claim behind the serving mode
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        int8_ids = C.generate(
+            model.trainable, model.frozen, ccfg, jax.numpy.asarray(emb),
+            max_length=10, temperature=0.0, top_p=1.0,
+            use_pallas_decode=True, decode_quant=True,
+        )
+    int8_caps = tok.batch_decode(_np.asarray(int8_ids), skip_special_tokens=True)
+    assert int8_caps == captions, f"int8 decode diverged: {int8_caps}"
