@@ -93,11 +93,26 @@ def generate_predictions(
         sharding = batch_sharding(mesh)
         shard = lambda emb: jax.device_put(np.asarray(emb), sharding)
     packed = None
-    if (
+    fused_ok = (
         decode != "beam"
         and mesh is None
         and C.DS.fused_greedy_enabled(model.cfg.gpt2, dec_pol, None)
-    ):
+    )
+    if quant and not fused_ok:
+        # int8 is a property of the fused kernel's packed W8A8 tiles; without
+        # it the decode actually runs the bf16 XLA path.  Be loud rather than
+        # mislabeling results (ADVICE r2).
+        import warnings
+
+        warnings.warn(
+            "decode_precision='int8' requested but the fused decode kernel is "
+            "not engaged (non-TPU backend, GIC_DISABLE_FUSED_DECODE, mesh, or "
+            "beam decode) — decoding at bf16 instead.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        quant = False
+    if fused_ok:
         # pre-tile the weights for the fused decode kernel once per eval pass
         # (greedy AND top-p sampled decode both ride the fused kernel now);
         # 256-divisible batches pack narrow tiles for 256-row kernel blocks
@@ -143,9 +158,11 @@ def generate_predictions(
         consume(*pending)
     if verbose:
         dt = time.perf_counter() - t0
+        eff = "int8" if quant else (decode_precision or "model")
         print(
             f"Generated {len(predictions)} captions in {dt:.1f}s "
-            f"({len(predictions) / max(dt, 1e-9):.1f} img/s, {n_batches} batches)"
+            f"({len(predictions) / max(dt, 1e-9):.1f} img/s, {n_batches} batches, "
+            f"precision={eff})"
         )
     return predictions
 

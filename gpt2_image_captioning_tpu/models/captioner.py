@@ -705,18 +705,19 @@ class ImageCaptioningModel:
         packed = None
         if DS.fused_greedy_enabled(self.cfg.gpt2, pol, None):
             tw = 384 if jnp.asarray(image_embeddings).shape[0] % 256 == 0 else None
-            # cache the kernel's pre-tiled weights, keyed on weight identity
+            # cache the kernel's pre-tiled weights per (quant, tw) so a
+            # serving mix alternating bf16/int8 or 256-multiple/odd batches
+            # keeps every packing warm; a weight swap invalidates all entries
             cache = getattr(self, "_packed_cache", None)
-            if (
-                cache is None or cache[0] is not tr or cache[1] is not fz
-                or cache[2] is not pol or cache[3] != (quant, tw)
-            ):
-                cache = (
-                    tr, fz, pol, (quant, tw),
-                    prepare_decode_weights(tr, fz, self.cfg, pol, quant=quant, tw=tw),
-                )
+            if cache is None or cache[0] is not tr or cache[1] is not fz or cache[2] is not pol:
+                cache = (tr, fz, pol, {})
                 self._packed_cache = cache
-            packed = cache[4]
+            packings = cache[3]
+            if (quant, tw) not in packings:
+                packings[(quant, tw)] = prepare_decode_weights(
+                    tr, fz, self.cfg, pol, quant=quant, tw=tw
+                )
+            packed = packings[(quant, tw)]
         return generate(
             tr,
             fz,

@@ -191,7 +191,10 @@ def forward_hidden(
     if remat:
         ckpt = jax.checkpoint(
             lambda bp, x, m: _block(bp, cfg, x, key_mask=m, policy=policy),
-            prevent_cse=False,  # scan/unrolled loops don't need the CSE guard
+            # inside lax.scan the loop boundary already blocks CSE; in the
+            # python-unrolled branch XLA CSE could silently undo the remat,
+            # so keep the guard on there (ADVICE r2)
+            prevent_cse=unroll_layers,
         )
         block = lambda bp, c, x, key_mask, policy: ckpt(bp, x, key_mask)  # noqa: E731
     else:

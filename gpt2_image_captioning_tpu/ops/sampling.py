@@ -100,7 +100,11 @@ def topk_small(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         i = jnp.argmax(x, axis=-1).astype(jnp.int32)
         vals.append(jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0])
         idxs.append(i)
-        x = jnp.where(col == i[..., None], NEG_INF, x)
+        # mask with -inf, strictly below any representable candidate (NEG_INF
+        # = finfo.min is a value live candidates can legitimately carry — e.g.
+        # dead-beam scores — and masking with it could re-select an already
+        # taken index, breaking top_k's distinct-index guarantee)
+        x = jnp.where(col == i[..., None], -jnp.inf, x)
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 

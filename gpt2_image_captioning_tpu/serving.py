@@ -136,10 +136,21 @@ class CaptionService:
 
     def caption_arrays(self, images: Sequence[np.ndarray]) -> list[str]:
         """uint8 RGB arrays (any sizes) → captions, in order."""
-        n = len(images)
+        if len(images) == 0:
+            return []
+        return self.caption_prepped(
+            np.stack([self._to_square_u8(im) for im in images])
+        )
+
+    def caption_prepped(self, prepped: np.ndarray) -> list[str]:
+        """Already resized/cropped uint8 batch (N, S, S, 3) → captions.
+
+        The geometry step is skipped — callers that decode+crop per request
+        on their own threads (e.g. the coalescing HTTP server) land here so
+        pixels aren't resampled twice."""
+        n = len(prepped)
         if n == 0:
             return []
-        prepped = np.stack([self._to_square_u8(im) for im in images])
         captions: list[str] = []
         t0 = time.perf_counter()
         for start in range(0, n, self.batch_size):
@@ -219,16 +230,92 @@ class CaptionService:
         return s
 
 
-def serve_http(service: CaptionService, host: str = "127.0.0.1", port: int = 5152):
-    """Minimal stdlib HTTP endpoint around a service.
+class _Pending:
+    """One in-flight /caption request: decoded pixels in, caption/error out."""
+
+    __slots__ = ("array", "event", "caption", "error")
+
+    def __init__(self, array: np.ndarray):
+        import threading
+
+        self.array = array
+        self.event = threading.Event()
+        self.caption: str | None = None
+        self.error: str | None = None
+
+
+def serve_http(
+    service: CaptionService,
+    host: str = "127.0.0.1",
+    port: int = 5152,
+    *,
+    window_ms: float = 5.0,
+    max_body_bytes: int = 32 << 20,
+    request_timeout_s: float = 300.0,
+):
+    """Stdlib HTTP endpoint with **request coalescing** around a service.
 
     - ``POST /caption`` with an encoded image body → ``{"caption": str}``
     - ``GET /healthz`` → ``{"ok": true, ...stats}``
 
-    Returns the ``HTTPServer`` (call ``serve_forever()`` or drive it from a
-    thread; tests use ``handle_request()``).
+    Concurrent POSTs are each handled on their own thread (JPEG decode +
+    resize happen per-request, in parallel); the decoded arrays are then
+    coalesced by a single dispatcher thread — it gathers requests for up to
+    ``window_ms`` or until ``service.batch_size`` are waiting, makes ONE
+    device call, and fans the captions back out.  This keeps the device at
+    its fixed serving batch shape under multi-client load instead of padding
+    every single-image POST up to a full batch (1/batch_size efficiency).
+
+    Bodies larger than ``max_body_bytes`` are rejected with 413 before any
+    read, so an oversized upload can't exhaust serving-host memory.
+
+    Returns the ``ThreadingHTTPServer`` (call ``serve_forever()`` from a
+    thread; ``shutdown()`` also stops the dispatcher).
     """
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    import queue
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    pending: queue.Queue = queue.Queue()
+    stop = object()  # sentinel
+
+    def dispatcher():
+        while True:
+            item = pending.get()
+            if item is stop:
+                return
+            batch = [item]
+            deadline = time.monotonic() + window_ms / 1000.0
+            while len(batch) < service.batch_size:
+                remain = deadline - time.monotonic()
+                if remain <= 0:
+                    break
+                try:
+                    nxt = pending.get(timeout=remain)
+                except queue.Empty:
+                    break
+                if nxt is stop:
+                    pending.put(stop)  # re-post for the outer loop
+                    break
+                batch.append(nxt)
+            try:
+                captions = service.caption_prepped(
+                    np.stack([p.array for p in batch])
+                )
+                for p, cap in zip(batch, captions):
+                    p.caption = cap
+            except Exception as e:  # device/compile failures are OUR fault
+                for p in batch:
+                    p.error = str(e)
+            for p in batch:
+                p.event.set()
+
+    class Server(ThreadingHTTPServer):
+        daemon_threads = True
+
+        def shutdown(self):
+            pending.put(stop)
+            super().shutdown()
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj) -> None:
@@ -254,22 +341,39 @@ def serve_http(service: CaptionService, host: str = "127.0.0.1", port: int = 515
             except (TypeError, ValueError):
                 self._json(411, {"error": "missing or malformed Content-Length"})
                 return
+            if length > max_body_bytes:
+                self._json(
+                    413, {"error": f"body exceeds {max_body_bytes} byte limit"}
+                )
+                return
             blob = self.rfile.read(length)
             from PIL import Image, UnidentifiedImageError
 
             try:
-                Image.open(io.BytesIO(blob)).verify()  # client-input check
+                # decode + geometry on THIS thread → host work parallelizes
+                # across concurrent clients; the device call is coalesced
+                rgb = np.asarray(
+                    Image.open(io.BytesIO(blob)).convert("RGB"), np.uint8
+                )
+                arr = service._to_square_u8(rgb)
             except (UnidentifiedImageError, OSError, ValueError) as e:
                 self._json(400, {"error": f"not a decodable image: {e}"})
                 return
-            try:
-                caption = service.caption_bytes([blob])[0]
-            except Exception as e:  # device/compile failures are OUR fault
-                self._json(500, {"error": str(e)})
+            p = _Pending(arr)
+            pending.put(p)
+            if not p.event.wait(timeout=request_timeout_s):
+                self._json(504, {"error": "caption batch timed out"})
                 return
-            self._json(200, {"caption": caption})
+            if p.error is not None:
+                self._json(500, {"error": p.error})
+                return
+            self._json(200, {"caption": p.caption})
 
         def log_message(self, *a):  # quiet
             pass
 
-    return HTTPServer((host, port), Handler)
+    server = Server((host, port), Handler)
+    t = threading.Thread(target=dispatcher, daemon=True, name="caption-dispatcher")
+    t.start()
+    server.dispatcher_thread = t
+    return server

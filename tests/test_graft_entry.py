@@ -22,7 +22,11 @@ def test_entry_compiles_tiny():
     fn, (trainable, frozen, batch) = ge.entry()
     # lower (trace) without executing the full 124M compute on CPU
     lowered = jax.jit(fn).lower(trainable, frozen, batch)
-    assert "dot" in lowered.as_text()[:200000] or True
+    hlo = lowered.as_text()
+    # Real structural checks on the lowered program: the decoder stack is a
+    # lax.scan over layers (a while loop in StableHLO) feeding MXU matmuls.
+    assert "stablehlo.while" in hlo
+    assert "stablehlo.dot_general" in hlo
     # and the loss math itself is exercised at tiny scale by test_captioner
 
 

@@ -16,8 +16,12 @@ the environment:
   recall over references taken INDEPENDENTLY, then the beta = 1.2 F-score,
   mean over corpus.
 
-CIDEr has no independent package here; it is pinned by hand goldens plus the
-frozen regression values below.  The corpora: a seeded 120-image adversarial
+CIDEr has no independent package here; its oracle is the **clean-room
+second implementation** in ``tests/cleanroom_cider.py`` (written directly
+from the Vedantam et al. CVPR'15 formula with deliberately different
+structure — see its module docstring), cross-checked at 1e-12 per-image
+and corpus-level, plus the frozen regression values below.  The corpora: a
+seeded 120-image adversarial
 multi-reference synthetic set, and the reference repo's committed 5,000-
 prediction golden artifact (sample_output/results.json) with deterministic
 synthetic references (skipped when the reference checkout is absent).
@@ -166,6 +170,23 @@ def test_rouge_matches_rouge_score_on_adversarial_corpus():
     assert ours == pytest.approx(want, rel=1e-9)
 
 
+def test_cider_matches_cleanroom_on_adversarial_corpus():
+    """Production CIDEr vs the structurally independent clean-room oracle
+    (tests/cleanroom_cider.py) — per-image AND corpus agreement at 1e-12.
+    This is the day-one-bug check frozen goldens can't provide: agreement
+    requires both to independently implement the same df counting, sigma=6
+    length penalty, count clipping, and bigram-length quirk."""
+    from cleanroom_cider import cider_d
+
+    gts, res = synthetic_corpus()
+    ours, per_item = Cider().compute_score(gts, res)
+    want, per_img = cider_d(gts, res)
+    assert ours == pytest.approx(want, rel=1e-12)
+    ids = list(gts.keys())
+    for i, iid in enumerate(ids):
+        assert per_item[i] == pytest.approx(per_img[iid], rel=1e-12, abs=1e-12), iid
+
+
 # Frozen regression goldens for the synthetic corpus (seeded — any numeric
 # drift in metrics.py on a realistic corpus fails loudly).  CIDEr has no
 # independent oracle in this environment; these pins are its guard.
@@ -219,6 +240,21 @@ class TestReferenceArtifactCorpus:
         ours, _ = Rouge().compute_score(gts, res)
         want = rouge_score_rougeL(gts, res)
         assert ours == pytest.approx(want, rel=1e-9)
+
+    def test_cider_matches_cleanroom(self, corpus):
+        """Clean-room CIDEr oracle agreement on the 5,000-prediction
+        reference-artifact corpus (corpus-level + spot per-image)."""
+        from cleanroom_cider import cider_d
+
+        gts, res = corpus
+        ours, per_item = Cider().compute_score(gts, res)
+        want, per_img = cider_d(gts, res)
+        assert ours == pytest.approx(want, rel=1e-12)
+        ids = list(gts.keys())
+        for i in range(0, len(ids), 97):  # per-image spot checks across the corpus
+            assert per_item[i] == pytest.approx(
+                per_img[ids[i]], rel=1e-12, abs=1e-12
+            ), ids[i]
 
     def test_frozen_goldens(self, corpus):
         gts, res = corpus

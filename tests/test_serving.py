@@ -209,6 +209,64 @@ def test_http_endpoint(service):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad, timeout=30)
         assert ei.value.code == 400
+
+        # oversized body → 413 before any read (memory-exhaustion guard)
+        huge = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=b"x", method="POST",
+            headers={"Content-Length": str(1 << 30)},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(huge, timeout=30)
+        assert ei.value.code == 413
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_concurrent_clients_coalesce(service):
+    """N parallel POSTs are coalesced into shared device batches: every
+    client gets the right caption back, and the device-dispatch count stays
+    well below one-batch-per-request."""
+    from PIL import Image
+
+    svc, vparams, vcfg, model = service
+    from gpt2_image_captioning_tpu.core.precision import F32
+    from gpt2_image_captioning_tpu.serving import CaptionService
+
+    # fresh service → clean stats counters
+    svc2 = CaptionService(
+        model, vparams, vcfg, encoder="clip", batch_size=4, max_length=6,
+        temperature=0.0, top_p=1.0, policy=F32,
+    )
+    imgs = _imgs(8, np.random.default_rng(9))
+    want = svc2.caption_arrays(imgs)  # ground truth per image (1 warm request)
+    base_requests = svc2.stats["requests"]
+
+    server = serve_http(svc2, host="127.0.0.1", port=0, window_ms=200.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    results = [None] * len(imgs)
+
+    def post(i):
+        buf = io.BytesIO()
+        Image.fromarray(imgs[i]).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            results[i] = json.loads(r.read())["caption"]
+
+    try:
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(len(imgs))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert results == want  # right caption to the right client
+        # 8 clients, batch_size 4, 200 ms window → at most a handful of
+        # device dispatches, NOT 8 (the coalescing claim)
+        assert svc2.stats["requests"] - base_requests <= 4
     finally:
         server.shutdown()
         server.server_close()
