@@ -1,4 +1,6 @@
-"""Multi-host readiness (simulated on one process).
+"""Multi-host execution and readiness.
+
+Simulated on one process:
 
 - Batcher process sharding: the union of every process's shard reconstructs
   the exact global batch order, padded tails are label-masked only on the
@@ -6,7 +8,20 @@
 - Orbax checkpoint: save/restore roundtrip of a pytree sharded over the
   8-device mesh preserves values and shardings.
 - _put_global_batch: the single-process path matches a plain device_put.
+
+Executed for REAL (test_two_process_training_matches_single): two spawned
+``jax.distributed`` CPU processes (4 local devices each) run Batcher shards
+→ ``_put_global_batch``'s ``make_array_from_process_local_data`` branch →
+sharded train steps over a process-spanning dp=8 mesh → orbax multihost
+save/restore, and the losses/params must match this process's
+single-process run bit-for-bit-close.
 """
+
+import json
+import os
+import socket
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -86,6 +101,103 @@ def test_orbax_sharded_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert restored["w"].sharding.spec == tree["w"].sharding.spec
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_training_matches_single(tmp_path):
+    """Spawn 2 real jax.distributed CPU processes; their sharded training
+    (each feeding only its Batcher shard through _put_global_batch's
+    multihost branch) must reproduce the single-process losses and params."""
+    from helpers import make_synthetic_coco, tiny_tokenizer
+    from multihost_common import make_model, put_tree
+
+    from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
+    from gpt2_image_captioning_tpu.data.dataset import Batcher, CocoDataset
+    from gpt2_image_captioning_tpu.train import optim
+    from gpt2_image_captioning_tpu.train.loop import _put_global_batch, make_train_step
+
+    make_synthetic_coco(tmp_path, n_images=9, captions_per_image=3)
+    steps = 2
+
+    # ---- reference: single-process, same dp=8 mesh/global data ----
+    mesh = create_mesh(MeshSpec(dp=8, tp=1))
+    model = make_model()
+    opt_cfg = optim.AdamWConfig(learning_rate=1e-3)
+    step_fn, (tr_sh, fr_sh, opt_sh, batch_sh) = make_train_step(
+        model.cfg, opt_cfg, mesh, model.policy
+    )
+    trainable = put_tree(model.trainable, tr_sh)
+    frozen = put_tree(model.frozen, fr_sh)
+    opt_state = put_tree(optim.init(model.trainable), opt_sh)
+    ds2 = CocoDataset(
+        str(tmp_path / "val_embeddings.npz"),
+        str(tmp_path / "captions_val.json"),
+        tokenizer=tiny_tokenizer(),
+        max_length=10,
+    )
+    it = iter(Batcher(ds2, 8, seed=5).epoch(0))
+    want_losses = []
+    for _ in range(steps):
+        group = dict(next(it))
+        group.pop("image_id", None)
+        group = _put_global_batch(group, batch_sh)
+        trainable, opt_state, loss, _ = step_fn(
+            trainable, opt_state, frozen, group, {}
+        )
+        want_losses.append(float(np.asarray(loss)))
+    # same jitted reduction as the worker → identical accumulation order
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    want_fp = float(
+        np.asarray(
+            jax.jit(
+                lambda t: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(t)),
+                out_shardings=NamedSharding(mesh, P()),
+            )(trainable)
+        )
+    )
+
+    # ---- 2 real processes ----
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = (
+        f"{os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}:"
+        f"{os.path.dirname(os.path.abspath(__file__))}:"
+        + env.get("PYTHONPATH", "")
+    )
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "--pid", str(p), "--nprocs", "2",
+             "--port", str(port), "--tmp", str(tmp_path), "--steps", str(steps)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for p in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()  # by Popen handle (never by pattern)
+        pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    with open(tmp_path / "worker0.json") as f:
+        got = json.load(f)
+    np.testing.assert_allclose(got["losses"], want_losses, rtol=1e-6)
+    assert got["fingerprint"] == pytest.approx(want_fp, rel=1e-5)
 
 
 def test_put_global_batch_single_process(ds):
