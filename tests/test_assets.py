@@ -26,6 +26,11 @@ import pytest
 
 ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets")
 
+# True when running against REAL pretrained assets; the fabricated-bundle
+# rehearsal (test_assets_rehearsal.py) flips this off to relax the few
+# assertions that depend on pretrained weight QUALITY (not plumbing).
+PRETRAINED_QUALITY = True
+
 
 def _asset(*parts: str) -> str:
     return os.path.abspath(os.path.join(ASSETS, *parts))
@@ -152,8 +157,9 @@ def test_clip_port_and_caption_non_degenerate():
     assert len(caps) == 2
     # non-degenerate: decodes to real text, not all-identical single tokens
     assert all(isinstance(c, str) for c in caps)
-    joined = " ".join(caps)
-    assert any(ch.isalpha() for ch in joined), f"degenerate captions: {caps!r}"
+    if PRETRAINED_QUALITY:  # random fabricated weights may decode anything
+        joined = " ".join(caps)
+        assert any(ch.isalpha() for ch in joined), f"degenerate captions: {caps!r}"
 
 
 @pytest.mark.assets
