@@ -503,10 +503,21 @@ def beam_generate(
 ) -> jnp.ndarray:
     """Length-normalized beam search → best beam's token ids (B, max_length).
 
-    Runs a fixed ``lax.scan`` of ``max_length`` steps; at each step the KV
-    cache is gathered along the beam dimension to follow surviving beams.
-    Score = sum-logprob / (length ** length_penalty), lengths counting tokens
-    up to and including EOS.
+    Runs a fixed ``lax.scan`` of ``max_length`` steps.  Score =
+    sum-logprob / (length ** length_penalty), lengths counting tokens up to
+    and including EOS.
+
+    On TPU (single device, beam_size dividing the 128-row kernel block) the
+    default path is the **beam-aware fused kernel**: one pallas_call per
+    step runs the whole forward with ancestry-indirected attention (an
+    (Tpad, B·K) origin map replaces the two full-cache beam gathers that
+    dominated the round-2 beam profile — ~0.6 GB/step of HBM movement at
+    512 rows) and emits each row's top-k (logit, token) pairs + logsumexp
+    in-kernel, so the (B·K, V) logits tensor never exists either
+    (ops/decode_step.py beam mode).  Elsewhere (CPU, meshes, non-dividing
+    beam sizes) the XLA path gathers the cache per step as before.  Both
+    paths share the same union-of-per-beam-top-k selection math and return
+    identical beams (modulo 1-ulp logsumexp rounding on near-ties).
     """
     gpt_params = _gpt(trainable, frozen)
     eos = cfg.eos_token_id
@@ -539,33 +550,36 @@ def beam_generate(
     finished0 = jnp.zeros((b, k), dtype=bool)
     lengths0 = jnp.zeros((b, k), dtype=jnp.int32)
 
-    # single-device beam search can ride the fused whole-step kernel in
-    # emit_logits mode (one pallas_call per step over the B·K rows); the beam
-    # bookkeeping + cache gather stay in XLA between steps.  Measured on-chip
-    # the step is bookkeeping-bound (fused 325 ms ≈ XLA 315 ms per b=32
-    # batch, docs/PERF_NOTES.md), so the fused forward is OPT-IN
-    # (use_pallas_decode=True) rather than the TPU default.
+    # TPU default: the beam-aware fused kernel (ancestry-indirected
+    # attention + in-kernel per-row top-k/logsumexp — see docstring).  The
+    # round-2 opt-in fused forward (emit_logits + per-step cache gather)
+    # measured no better than XLA because the gather/bookkeeping dominated;
+    # the beam-aware kernel removes exactly those terms.  Requires a single
+    # device and beam groups that don't straddle the kernel's batch blocks
+    # (k | 128).  use_pallas_decode=False opts out.
     fused = (
-        use_pallas_decode is True
-        and DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode)
+        DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode)
         and mesh is None
+        and DS.BLOCK_B % k == 0
     )
-    packed = DS.pack_decode_weights(gpt_params, policy.compute_dtype) if fused else None
+    packed = (
+        DS.pack_decode_weights(
+            gpt_params, policy.compute_dtype,
+            tw=384 if (b * k) % 256 == 0 else DS.TILE_W,
+        )
+        if fused
+        else None
+    )
 
-    def step_fn(carry, step):
-        scores, tokens, finished, lengths, logits, cache = carry
-        lf = logits.astype(jnp.float32)  # (B·K, V)
-
-        # Union-of-per-beam-top-k: every global top-k candidate is in its own
-        # beam's top-k (within a beam, ranking by score+logp == ranking by
-        # raw logits), so instead of materializing the (B, K·V) candidate
-        # tensor and top-k'ing 201k entries — several wide HBM passes — take
-        # each beam's k best tokens (k linear argmax passes over the raw
-        # logits) and combine the K·K survivors.  Tie order matches the flat
-        # (beam-major, then vocab) rule exactly: candidates are laid out
-        # beam-major and both top-k stages break ties toward lower index.
-        vals, tok_k = topk_small(lf, k)  # (B·K, k) raw logits descending
-        lse = jax.nn.logsumexp(lf, axis=-1, keepdims=True)
+    def select(scores, finished, vals, tok_k, lse):
+        """Union-of-per-beam-top-k candidate selection (shared by both
+        paths): every global top-k candidate is in its own beam's top-k
+        (within a beam, ranking by score+logp == ranking by raw logits), so
+        instead of materializing the (B, K·V) candidate tensor and top-k'ing
+        201k entries — several wide HBM passes — combine each beam's k best
+        tokens into K·K survivors.  Tie order matches the flat (beam-major,
+        then vocab) rule exactly: candidates are laid out beam-major and
+        both top-k stages break ties toward lower index."""
         logp_k = (vals - lse).reshape(b, k, k)
         tok_k = tok_k.reshape(b, k, k)
 
@@ -577,15 +591,16 @@ def beam_generate(
         tok_k = tok_k.at[:, :, 0].set(
             jnp.where(finished, eos, tok_k[:, :, 0])
         )
-
         cand = (scores[..., None] + logp_k).reshape(b, k * k)
         new_scores, ci = topk_small(cand, k)  # (B, K) over K·K entries
         parent = ci // k  # (B, K) beam index
         tok = jnp.take_along_axis(tok_k.reshape(b, k * k), ci, axis=-1).astype(
             jnp.int32
         )
+        return new_scores, parent, tok
 
-        # reorder beam state along parents
+    def reorder(tokens, finished, lengths, parent, tok, step):
+        """Carry beam state along the chosen parents and append tok."""
         batch_idx = jnp.arange(b)[:, None]
         tokens = tokens[batch_idx, parent]
         finished = finished[batch_idx, parent]
@@ -593,29 +608,73 @@ def beam_generate(
         tokens = jax.lax.dynamic_update_slice(tokens, tok[..., None], (0, 0, step))
         newly_finished = jnp.logical_or(finished, tok == eos)
         lengths = jnp.where(finished, lengths, step + 1)
+        return tokens, newly_finished, lengths, batch_idx
 
-        # gather the KV cache along beams: flat index = batch*k + parent
-        # (cache layout (L, T, B·K, D) — batch is axis 2)
-        flat_parent = (batch_idx * k + parent).reshape(-1)
-        cache = dict(
-            cache,
-            k=cache["k"][:, :, flat_parent],
-            v=cache["v"][:, :, flat_parent],
-        )
+    if fused:
+        tpad = cache["k"].shape[1]
 
-        if fused:
-            idx = cache["index"]
+        def step_fn(carry, step):
+            scores, tokens, finished, lengths, vals, tok_k, lse, kc, vc, origin = carry
+            new_scores, parent, tok = select(scores, finished, vals, tok_k, lse)
+            tokens, newly_finished, lengths, batch_idx = reorder(
+                tokens, finished, lengths, parent, tok, step
+            )
+            idx = p_len + step
+            # ancestry bookkeeping instead of a cache gather: new row r
+            # descends from flat_parent[r], whose history (positions < idx)
+            # it inherits through the kernel's origin indirection; its own
+            # K/V row is written at (idx, r) by the step below
+            flat_parent = (batch_idx * k + parent).reshape(-1)
+            origin = origin[:, flat_parent]
+            origin = jax.lax.dynamic_update_slice(
+                origin, jnp.arange(b * k, dtype=jnp.int32)[None, :], (idx, 0)
+            )
             x0 = (
                 jnp.take(gpt_params["wte"], tok.reshape(b * k), axis=0)
                 + jax.lax.dynamic_slice_in_dim(gpt_params["wpe"], idx, 1, 0)[0]
             ).astype(policy.compute_dtype)
-            logits, kc, vc = DS.fused_decode_step(
-                packed, x0, cache["k"], cache["v"], idx, n_head=cfg.gpt2.n_head,
-                vocab=cfg.gpt2.vocab_size, eps=cfg.gpt2.layer_norm_epsilon,
-                emit_logits=True,
+            vals, tok_k, lse, kc, vc = DS.fused_decode_step(
+                packed, x0, kc, vc, idx,
+                n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+                eps=cfg.gpt2.layer_norm_epsilon,
+                origin=origin, beam_k=k, topk=k,
             )
-            cache = {"k": kc, "v": vc, "index": idx + 1}
-        else:
+            return (
+                new_scores, tokens, newly_finished, lengths,
+                vals, tok_k, lse, kc, vc, origin,
+            ), None
+
+        lf = logits.astype(jnp.float32)
+        vals0, tok_k0 = topk_small(lf, k)
+        lse0 = jax.nn.logsumexp(lf, axis=-1, keepdims=True)
+        origin0 = jnp.broadcast_to(
+            jnp.arange(b * k, dtype=jnp.int32)[None, :], (tpad, b * k)
+        )
+        carry = (
+            scores0, tokens0, finished0, lengths0,
+            vals0, tok_k0, lse0, cache["k"], cache["v"], origin0,
+        )
+        (scores, tokens, finished, lengths, *_), _ = jax.lax.scan(
+            step_fn, carry, jnp.arange(max_length)
+        )
+    else:
+        def step_fn(carry, step):
+            scores, tokens, finished, lengths, logits, cache = carry
+            lf = logits.astype(jnp.float32)  # (B·K, V)
+            vals, tok_k = topk_small(lf, k)  # (B·K, k) raw logits descending
+            lse = jax.nn.logsumexp(lf, axis=-1, keepdims=True)
+            new_scores, parent, tok = select(scores, finished, vals, tok_k, lse)
+            tokens, newly_finished, lengths, batch_idx = reorder(
+                tokens, finished, lengths, parent, tok, step
+            )
+            # gather the KV cache along beams: flat index = batch*k + parent
+            # (cache layout (L, T, B·K, D) — batch is axis 2)
+            flat_parent = (batch_idx * k + parent).reshape(-1)
+            cache = dict(
+                cache,
+                k=cache["k"][:, :, flat_parent],
+                v=cache["v"][:, :, flat_parent],
+            )
             embed = G.embed_tokens(gpt_params, tok.reshape(b * k, 1)).astype(
                 policy.compute_dtype
             )
@@ -623,14 +682,12 @@ def beam_generate(
                 gpt_params, cfg.gpt2, embed, cache, policy,
                 unroll=True, use_pallas_decode=use_pallas_decode,
             )
-        return (new_scores, tokens, newly_finished, lengths, logits, cache), None
+            return (new_scores, tokens, newly_finished, lengths, logits, cache), None
 
-    if fused:
-        logits = logits.astype(jnp.float32)  # scan carry dtype must match
-    carry = (scores0, tokens0, finished0, lengths0, logits, cache)
-    (scores, tokens, finished, lengths, _, _), _ = jax.lax.scan(
-        step_fn, carry, jnp.arange(max_length)
-    )
+        carry = (scores0, tokens0, finished0, lengths0, logits, cache)
+        (scores, tokens, finished, lengths, _, _), _ = jax.lax.scan(
+            step_fn, carry, jnp.arange(max_length)
+        )
     lengths = jnp.where(finished, lengths, max_length)
     norm = jnp.power(jnp.maximum(lengths, 1).astype(jnp.float32), length_penalty)
     best = jnp.argmax(scores / norm, axis=1)

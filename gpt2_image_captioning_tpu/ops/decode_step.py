@@ -75,6 +75,33 @@ def _gelu_new(x32: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * x32 * (1.0 + jnp.tanh(c * (x32 + 0.044715 * x32 * x32 * x32)))
 
 
+def _beam_gather(x3: jnp.ndarray, delta: jnp.ndarray, k: int) -> jnp.ndarray:
+    """``out[t, r] = x3[t, r + delta[t, r]]`` for ``delta ∈ (-k, k)``.
+
+    The beam-ancestry row indirection: beams mix only inside their image's
+    ``k``-aligned row group, so the gather is a group-local permutation.
+    Mosaic has no dynamic row gather — build it as ``2k-1`` statically
+    shifted copies of the (CT, BB, D) chunk selected by per-``(t, r)``
+    masks.  Pure VPU work (~2k passes over the chunk), overlapped with the
+    next chunk's cache DMA; the alternative (a one-hot MXU permutation
+    matmul) would contend with the weight-stream matmuls instead.
+    """
+    bb = x3.shape[1]
+    out = None
+    for s in range(-(k - 1), k):
+        # minor-dim insertion only lowers for 32-bit types: build the mask in
+        # f32, expand, then cast to the chunk dtype
+        mask = (delta == s).astype(jnp.float32)[:, :, None].astype(x3.dtype)
+        if s == 0:
+            shifted = x3
+        else:
+            sh = s % bb
+            shifted = jnp.concatenate([x3[:, sh:], x3[:, :sh]], axis=1)
+        term = shifted * mask
+        out = term if out is None else out + term
+    return out
+
+
 def _step_kernel(
     # scalar prefetch
     idx_ref,
@@ -86,12 +113,15 @@ def _step_kernel(
     # rest (order fixed by fused_decode_step's in_specs):
     #   [qkvs, projs, fcs, cprojs, wtes]  — (quant mode only) per-output-
     #       column dequant scales, tiled like the biases / (NT_v, 1, VW)
+    #   [origin] — (beam mode only) (Tpad, BB) int32 ancestry map: attention
+    #       over position t for decode row r reads cache row origin[t, r]
     #   lnf (2, D) f32; hs (D, H) cdt; he (H, D) f32
     #   HBM weights (pre-tiled): qkvw (L, NT_qkv, D, TW), projw, fcw,
     #       cprojw (tiles int8 in quant mode), wtet (NT_v, D, VW)
     #   kc_in, vc_in — (L, Tpad, B, D) caches, aliased to the outputs
-    #   outputs: tok (BB, 1) int32 — or (NT_v, BP, VW) f32 when emit_logits;
-    #       kc, vc aliased caches (row idx written in place)
+    #   outputs: tok (BB, 1) int32 — or (NT_v, BP, VW) f32 when emit_logits —
+    #       or [vals (BB, K) f32, idxs (BB, K) i32, lse (BB, 1) f32] when
+    #       topk > 0; then kc, vc aliased caches (row idx written in place)
     #   scratch: wbuf (2, D, TW) int8|cdt; vwbuf (2, D, VW) int8|cdt;
     #       kbuf, vbuf (2, CT, BB, D) cache dtype; knbuf, vnbuf (BB, D);
     #       lbuf (2, BB, VW) f32; 6 DMA semaphore pairs
@@ -107,6 +137,8 @@ def _step_kernel(
     emit_logits: bool,
     quant: bool,
     cache_quant: bool,
+    beam_k: int,
+    topk: int,
 ):
     it = iter(rest)
     qkvs_ref = projs_ref = fcs_ref = cprojs_ref = wtes_ref = None
@@ -114,6 +146,7 @@ def _step_kernel(
         qkvs_ref, projs_ref, fcs_ref, cprojs_ref, wtes_ref = (
             next(it), next(it), next(it), next(it), next(it)
         )
+    origin_ref = next(it) if beam_k else None
     lnf_ref, hs_ref, he_ref = next(it), next(it), next(it)
     qkvw_ref, projw_ref, fcw_ref, cprojw_ref, wtet_ref = (
         next(it), next(it), next(it), next(it), next(it)
@@ -122,7 +155,11 @@ def _step_kernel(
     ks_in = vs_in = None
     if cache_quant:
         ks_in, vs_in = next(it), next(it)
-    tok_ref, kc_ref, vc_ref = next(it), next(it), next(it)
+    if topk:
+        tok_ref, tki_ref, lse_ref = next(it), next(it), next(it)
+    else:
+        tok_ref, tki_ref, lse_ref = next(it), None, None
+    kc_ref, vc_ref = next(it), next(it)
     ks_ref = vs_ref = None
     if cache_quant:
         ks_ref, vs_ref = next(it), next(it)
@@ -132,6 +169,9 @@ def _step_kernel(
     wsem, vwsem, ksem, vsem, wrsem, lsem = (
         next(it), next(it), next(it), next(it), next(it), next(it)
     )
+    obuf = osem = None
+    if beam_k:
+        obuf, osem = next(it), next(it)
     ksbuf = vsbuf = ksnbuf = vsnbuf = kssem = vssem = None
     if cache_quant:
         ksbuf, vsbuf, ksnbuf, vsnbuf, kssem, vssem = (
@@ -278,10 +318,19 @@ def _step_kernel(
                 vssem.at[slot],
             )
 
+        def o_dma(slot, c):
+            return pltpu.make_async_copy(
+                origin_ref.at[pl.ds(c * ct, ct), pl.ds(bi * bb, bb)],
+                obuf.at[slot],
+                osem.at[slot],
+            )
+
         def chunk_dmas(slot, c):
             dmas = [k_dma(slot, c), v_dma(slot, c)]
             if cache_quant:
                 dmas += [ks_dma(slot, c), vs_dma(slot, c)]
+            if beam_k:
+                dmas.append(o_dma(slot, c))
             return dmas
 
         @pl.when(nchunks > 0)
@@ -310,6 +359,17 @@ def _step_kernel(
             else:
                 k = kbuf[slot]  # (CT, BB, D)
                 v = vbuf[slot]
+            if beam_k:
+                # ancestry indirection: row r attends to cache row
+                # origin[t, r] for position t (no host-side cache gather).
+                # The (ct, bb) int32 chunk rides the same double-buffered
+                # DMA walk as k/v (dynamic slicing of register arrays or
+                # VMEM refs does not lower in Mosaic — DMA does)
+                orig_c = obuf[slot]
+                r_loc = jax.lax.broadcasted_iota(jnp.int32, (ct, bb), 1)
+                delta = orig_c - (bi * bb + r_loc)
+                k = _beam_gather(k, delta, beam_k)
+                v = _beam_gather(v, delta, beam_k)
             prod = k * q[None, :, :]
             s = jnp.dot(
                 prod.reshape(ct * bb, d), hs_ref[...], preferred_element_type=jnp.float32
@@ -403,7 +463,55 @@ def _step_kernel(
         return pltpu.make_async_copy(wtet_ref.at[t], vwbuf.at[slot], vwsem.at[slot])
 
     vdma(0, 0).start()
-    if emit_logits:
+    if topk:
+        # In-kernel per-row top-k + streaming logsumexp over the vocab walk:
+        # beam search needs only each row's k best (logit, token) pairs and
+        # the row's logsumexp — emitting those instead of full logits saves
+        # the (B·K, V) HBM round-trip (~0.1 GB/step at 512 rows).  Selection
+        # semantics match ops/sampling.topk_small / lax.top_k exactly:
+        # descending values, ties broken toward the lowest vocab index,
+        # distinct indices (running entries always come from earlier tiles,
+        # so the min-index tie-break prefers them correctly).
+        run_v = jnp.full((bb, topk), -jnp.inf, jnp.float32)
+        run_i = jnp.zeros((bb, topk), jnp.int32)
+        m = jnp.full((bb, 1), NEG_INF, jnp.float32)
+        ssum = jnp.zeros((bb, 1), jnp.float32)
+        big = jnp.int32(2**30)
+        for t in range(nv):
+            if t + 1 < nv:
+                vdma((t + 1) % 2, t + 1).start()
+            vdma(t % 2, t).wait()
+            logits = vtile(t % 2, t)
+            col = t * vw + jax.lax.broadcasted_iota(jnp.int32, (bb, vw), 1)
+            logits = jnp.where(col < vocab, logits, NEG_INF)
+            tm = jnp.max(logits, axis=1, keepdims=True)
+            m_new = jnp.maximum(m, tm)
+            ssum = ssum * jnp.exp(m - m_new) + jnp.sum(
+                jnp.exp(logits - m_new), axis=1, keepdims=True
+            )
+            m = m_new
+            lg, rv, ri = logits, run_v, run_i
+            new_v, new_i = [], []
+            for _ in range(topk):
+                mx = jnp.maximum(
+                    jnp.max(rv, axis=1, keepdims=True),
+                    jnp.max(lg, axis=1, keepdims=True),
+                )
+                ric = jnp.min(jnp.where(rv == mx, ri, big), axis=1, keepdims=True)
+                tic = jnp.min(jnp.where(lg == mx, col, big), axis=1, keepdims=True)
+                sel = jnp.minimum(ric, tic)
+                new_v.append(mx)
+                new_i.append(sel)
+                # mask with -inf (strictly below any live candidate), not
+                # NEG_INF — same distinct-index guarantee as topk_small
+                rv = jnp.where(ri == sel, -jnp.inf, rv)
+                lg = jnp.where(col == sel, -jnp.inf, lg)
+            run_v = jnp.concatenate(new_v, axis=1)
+            run_i = jnp.concatenate(new_i, axis=1)
+        tok_ref[...] = run_v
+        tki_ref[...] = run_i
+        lse_ref[...] = m + jnp.log(ssum)
+    elif emit_logits:
         # stream full logits tiles to HBM: compute tile t into the staging
         # buffer, DMA it out to tok_ref[t, bi·bb : bi·bb+bb, :] (contiguous in
         # the (NT_v, BP, VW) tile layout), double-buffered so tile t+1's
@@ -603,6 +711,9 @@ def fused_decode_step(
     v_scale: jnp.ndarray | None = None,
     block_b: int | None = None,
     chunk_t: int | None = None,
+    origin: jnp.ndarray | None = None,
+    beam_k: int = 0,
+    topk: int = 0,
 ) -> tuple[jnp.ndarray, ...]:
     """One fused decode step.
 
@@ -622,6 +733,20 @@ def fused_decode_step(
     (L, Tpad, B) f32 per-row scales (see :func:`quantize_cache`); the return
     tuple then ends with the updated scale arrays.  Halves the cache-read
     traffic — the largest per-step HBM term after the weights.
+
+    Beam mode (``origin`` + ``beam_k=k``): ``origin`` is the (Tpad, B) int32
+    ancestry map — attention over position t for decode row r reads cache
+    row ``origin[t, r]`` instead of row r, so beam search never gathers or
+    rewrites the (L, T, B, D) caches between steps (the round-2 beam
+    bottleneck: ~0.6 GB of cache movement per step at 512 rows).  Rows are
+    beam-major (image i's beams at rows i·k..i·k+k-1) and ancestors stay
+    inside the k-aligned group, which must divide the batch block.
+
+    ``topk=k`` replaces the greedy argmax with in-kernel per-row top-k +
+    streaming logsumexp: returns ``(values (B, k) f32, token_ids (B, k)
+    int32, logsumexp (B, 1) f32, k_cache', v_cache')`` — exactly the
+    quantities beam search's union-of-per-beam-top-k selection needs,
+    without the full-logits HBM round-trip of ``emit_logits``.
     """
     from gpt2_image_captioning_tpu.ops.decode_attention import _head_sum_matrix
 
@@ -633,6 +758,11 @@ def fused_decode_step(
     cache_quant = k_cache.dtype == jnp.int8
     if cache_quant:
         assert k_scale is not None and v_scale is not None, "int8 cache needs scales"
+    assert (origin is None) == (beam_k == 0), "beam mode needs origin AND beam_k"
+    if origin is not None:
+        origin = origin.astype(jnp.int32)
+    assert not (topk and emit_logits), "topk and emit_logits are exclusive"
+    assert not (topk and cache_quant), "beam top-k mode has no int8-cache variant"
     tw = packed["qkvw"].shape[3]
     vw = packed["wtet"].shape[2]
     # Batch blocking: each grid program streams ALL weights, so weight
@@ -652,6 +782,8 @@ def fused_decode_step(
     # the final chunk DMA run past the cache (init_cache pads T to 16, so the
     # default ct of 4/8 always divides)
     assert tpad % ct == 0, (tpad, ct)
+    if beam_k:
+        assert bb % beam_k == 0, (bb, beam_k)  # groups must not straddle blocks
     pad_b = (-b) % bb
     if pad_b:
         x0 = jnp.pad(x0, ((0, pad_b), (0, 0)))
@@ -660,6 +792,12 @@ def fused_decode_step(
         if cache_quant:
             k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, pad_b)))
             v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, pad_b)))
+        if origin is not None:
+            # padded rows point at themselves (delta 0 — no mixing)
+            pad_rows = jnp.broadcast_to(
+                jnp.arange(b, b + pad_b, dtype=jnp.int32)[None, :], (tpad, pad_b)
+            )
+            origin = jnp.concatenate([origin.astype(jnp.int32), pad_rows], axis=1)
     bp = x0.shape[0]
     nb = bp // bb
 
@@ -680,6 +818,8 @@ def fused_decode_step(
         emit_logits=emit_logits,
         quant=quant,
         cache_quant=cache_quant,
+        beam_k=beam_k,
+        topk=topk,
     )
     nv = packed["wtet"].shape[0]
 
@@ -713,6 +853,11 @@ def fused_decode_step(
             vm(packed["fcb"].shape),
             vm(packed["cprojb"].shape),
             *scale_specs,
+            *(
+                [pl.BlockSpec(memory_space=pl.ANY)]  # origin map, DMA-chunked
+                if beam_k
+                else []
+            ),
             vm(packed["lnf"].shape),
             vm(hs.shape),
             vm(he.shape),
@@ -730,9 +875,19 @@ def fused_decode_step(
             ),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY)
-            if emit_logits
-            else pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
+            *(
+                [
+                    pl.BlockSpec((bb, topk), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bb, topk), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
+                ]
+                if topk
+                else [
+                    pl.BlockSpec(memory_space=pl.ANY)
+                    if emit_logits
+                    else pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM)
+                ]
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             *(
@@ -762,6 +917,14 @@ def fused_decode_step(
             pltpu.SemaphoreType.DMA((2,)),
             *(
                 [
+                    pltpu.VMEM((2, ct, bb), jnp.int32),  # origin chunks
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]
+                if beam_k
+                else []
+            ),
+            *(
+                [
                     pltpu.VMEM((2, ct, bb), jnp.float32),
                     pltpu.VMEM((2, ct, bb), jnp.float32),
                     pltpu.VMEM((1, bb), jnp.float32),
@@ -774,19 +937,28 @@ def fused_decode_step(
             ),
         ],
     )
-    n_in = 18 + len(scale_args)  # caches (+ cache scales) are the last inputs
-    aliases = {n_in: 1, n_in + 1: 2}
-    out_shapes = [
-        jax.ShapeDtypeStruct((nv, bp, vw), jnp.float32)
-        if emit_logits
-        else jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+    # caches (+ cache scales) are the last inputs; head outputs come first
+    n_in = 18 + len(scale_args) + (1 if beam_k else 0)
+    n_head_out = 3 if topk else 1
+    aliases = {n_in: n_head_out, n_in + 1: n_head_out + 1}
+    if topk:
+        head_shapes = [
+            jax.ShapeDtypeStruct((bp, topk), jnp.float32),
+            jax.ShapeDtypeStruct((bp, topk), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        ]
+    elif emit_logits:
+        head_shapes = [jax.ShapeDtypeStruct((nv, bp, vw), jnp.float32)]
+    else:
+        head_shapes = [jax.ShapeDtypeStruct((bp, 1), jnp.int32)]
+    out_shapes = head_shapes + [
         jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
         jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
     ]
     cache_args = [k_cache, v_cache]
     if cache_quant:
-        aliases[n_in + 2] = 3
-        aliases[n_in + 3] = 4
+        aliases[n_in + 2] = n_head_out + 2
+        aliases[n_in + 3] = n_head_out + 3
         out_shapes += [
             jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
             jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
@@ -805,24 +977,29 @@ def fused_decode_step(
         packed["ln1s"], packed["ln1b"], packed["ln2s"], packed["ln2b"],
         packed["attnb"], packed["projb"], packed["fcb"], packed["cprojb"],
         *scale_args,
+        *([origin] if beam_k else []),
         packed["lnf"], hs, he,
         packed["qkvw"], packed["projw"], packed["fcw"], packed["cprojw"],
         packed["wtet"],
         *cache_args,
     )
-    tok, kc, vc = outs[0], outs[1], outs[2]
+    kc, vc = outs[n_head_out], outs[n_head_out + 1]
     if pad_b:
         kc = kc[:, :, :b]
         vc = vc[:, :, :b]
-    if emit_logits:
+    if topk:
+        head = (outs[0][:b], outs[1][:b], outs[2][:b])
+    elif emit_logits:
         # (NT_v, BP, VW) tiles → (B, vocab); padded cols hold NEG_INF anyway
-        head = jnp.moveaxis(tok, 0, 1).reshape(bp, nv * vw)[:b, :vocab]
+        head = jnp.moveaxis(outs[0], 0, 1).reshape(bp, nv * vw)[:b, :vocab]
     else:
-        head = tok[:b, 0]
+        head = outs[0][:b, 0]
     if cache_quant:
-        ks, vs = outs[3], outs[4]
+        ks, vs = outs[n_head_out + 2], outs[n_head_out + 3]
         if pad_b:
             ks = ks[:, :, :b]
             vs = vs[:, :, :b]
         return head, kc, vc, ks, vs
+    if topk:
+        return (*head, kc, vc)  # vals, idxs, lse, kc, vc
     return head, kc, vc

@@ -608,10 +608,100 @@ def test_generate_int8_decode_runs_and_tracks_f32():
     assert (got_c == want).mean() > 0.5
 
 
+def test_fused_decode_step_topk_matches_topk_small():
+    """The in-kernel top-k + streaming logsumexp (beam mode's vocab walk)
+    reproduces topk_small/logsumexp over the emitted full logits exactly —
+    values, indices (incl. tie order) and lse."""
+    from gpt2_image_captioning_tpu.models import gpt2
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+    from gpt2_image_captioning_tpu.ops.sampling import topk_small
+
+    cfg = gpt2.GPT2Config(
+        vocab_size=613, n_positions=64, n_embd=32, n_layer=2, n_head=2
+    )
+    params = gpt2.init(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(7)
+    b, p_len, k = 6, 3, 4
+    prefix = jnp.asarray(rng.normal(size=(b, p_len, 32)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, b, p_len + 2)
+    _, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(b, 32)).astype(np.float32))
+
+    want_logits, _, _ = DS.fused_decode_step(
+        packed, x0, cache["k"], cache["v"], cache["index"],
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True, emit_logits=True,
+    )
+    vals, idxs, lse, _, _ = DS.fused_decode_step(
+        packed, x0, cache["k"], cache["v"], cache["index"],
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True, topk=k,
+    )
+    want_v, want_i = topk_small(jnp.asarray(want_logits), k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(want_v), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_i))
+    want_lse = jax.nn.logsumexp(jnp.asarray(want_logits), axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse), rtol=1e-5)
+
+
+def test_fused_decode_step_origin_indirection_matches_gather():
+    """Beam-mode ancestry indirection: a step reading rows through an origin
+    map == a step over the explicitly beam-gathered cache (the round-2
+    design), across multiple batch blocks (block_b=8, k=4 groups)."""
+    from gpt2_image_captioning_tpu.models import gpt2
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+    cfg = gpt2.GPT2Config(
+        vocab_size=307, n_positions=64, n_embd=32, n_layer=2, n_head=2
+    )
+    params = gpt2.init(jax.random.PRNGKey(6), cfg)
+    rng = np.random.default_rng(11)
+    k, n_img, p_len = 4, 4, 5
+    bk = n_img * k  # 16 rows over 2 blocks of 8
+    prefix = jnp.asarray(rng.normal(size=(bk, p_len, 32)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, bk, p_len + 3)
+    _, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(bk, 32)).astype(np.float32))
+    idx = cache["index"]
+    tpad = cache["k"].shape[1]
+
+    # random ancestry: each row's history at each position comes from a
+    # random beam of ITS OWN image group
+    base = (np.arange(bk) // k * k)[None, :]
+    origin = np.asarray(base + rng.integers(0, k, size=(tpad, bk)), np.int32)
+
+    vals_o, idxs_o, lse_o, _, _ = DS.fused_decode_step(
+        packed, x0, cache["k"], cache["v"], idx,
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        origin=jnp.asarray(origin), beam_k=k, topk=k, block_b=8,
+    )
+
+    # reference: gather each row's cache explicitly, no indirection.
+    # (per-position ancestry means each row r's gathered cache row t is
+    # cache[t, origin[t, r]] — materialize exactly that)
+    kg = np.asarray(cache["k"]).copy()
+    vg = np.asarray(cache["v"]).copy()
+    t_idx = np.arange(tpad)[:, None]
+    kg = kg[:, t_idx, origin]  # (L, Tpad, BK, D)
+    vg = vg[:, t_idx, origin]
+    vals_g, idxs_g, lse_g, _, _ = DS.fused_decode_step(
+        packed, x0, jnp.asarray(kg), jnp.asarray(vg), idx,
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        topk=k, block_b=8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals_o), np.asarray(vals_g), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(idxs_o), np.asarray(idxs_g))
+    np.testing.assert_allclose(
+        np.asarray(lse_o), np.asarray(lse_g), rtol=2e-5, atol=1e-5
+    )
+
+
 def test_beam_generate_fused_matches_xla_path():
-    """Beam search on the fused emit_logits kernel == the per-layer XLA beam
-    path (same best-beam tokens): the kernel only replaces the per-step
-    forward; beam bookkeeping and the cache gather are shared XLA code."""
+    """Beam search on the beam-aware fused kernel (origin indirection +
+    in-kernel top-k/lse) == the per-layer XLA beam path with its per-step
+    cache gather: same best-beam tokens."""
     from jax.experimental.pallas import tpu as pltpu
 
     from gpt2_image_captioning_tpu.models import captioner as C
@@ -625,12 +715,39 @@ def test_beam_generate_fused_matches_xla_path():
     emb = jnp.asarray(np.random.default_rng(9).normal(size=(3, 16)).astype(np.float32))
 
     want = C.beam_generate(
-        trainable, frozen, ccfg, emb, max_length=8, beam_size=3,
+        trainable, frozen, ccfg, emb, max_length=8, beam_size=4,
         use_pallas_decode=False,
     )
     with pltpu.force_tpu_interpret_mode():
         got = C.beam_generate(
-            trainable, frozen, ccfg, emb, max_length=8, beam_size=3,
+            trainable, frozen, ccfg, emb, max_length=8, beam_size=4,
+            use_pallas_decode=True,
+        )
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_beam_generate_non_dividing_beam_falls_back():
+    """beam_size=3 (does not divide the kernel block) silently uses the XLA
+    path — same results with use_pallas_decode True and False."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    gcfg = G.GPT2Config(vocab_size=151, n_positions=64, n_embd=32, n_layer=1, n_head=2)
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=16, gpt_dim=32)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=150)
+    trainable, frozen = C.init_params(jax.random.PRNGKey(2), ccfg)
+    emb = jnp.asarray(np.random.default_rng(4).normal(size=(2, 16)).astype(np.float32))
+
+    want = C.beam_generate(
+        trainable, frozen, ccfg, emb, max_length=6, beam_size=3,
+        use_pallas_decode=False,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = C.beam_generate(
+            trainable, frozen, ccfg, emb, max_length=6, beam_size=3,
             use_pallas_decode=True,
         )
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
