@@ -145,6 +145,27 @@ def main() -> None:
     b256_img_s = 256 * reps / (time.perf_counter() - t0)
     log(f"b=256 decode: {b256_img_s:.0f} img/s")
 
+    # --- beam search (beam 4) on the beam-aware fused kernel --------------
+    # a capability the reference lacks entirely; round-3 kernel replaces the
+    # per-step cache gather with an ancestry-map indirection inside the
+    # attention walk plus in-kernel per-row top-k/logsumexp
+    def ours_beam():
+        return C.beam_generate(
+            trainable, frozen, ccfg, emb,
+            max_length=max_len, beam_size=4, policy=policy,
+        )
+
+    log("compiling beam decode...")
+    np.asarray(ours_beam())
+    np.asarray(ours_beam())
+    beam_reps = 3
+    t0 = time.perf_counter()
+    wouts = [ours_beam() for _ in range(beam_reps)]
+    for o in wouts:
+        np.asarray(o)
+    beam_img_s = batch * beam_reps / (time.perf_counter() - t0)
+    log(f"beam-4 decode: {beam_img_s:.0f} img/s")
+
     # --- reference algorithm on the same chip: uncached O(L^2) decode ----
     # The reference's Python loop re-forwards the whole sequence every step
     # (src/models.py:389-395), so step t costs one full forward of length
@@ -260,6 +281,7 @@ def main() -> None:
                     "sampled_decode_top_p_img_s": round(sampled_img_s, 1),
                     "int8_decode_img_s": round(int8_img_s, 1),
                     "decode_b256_img_s": round(b256_img_s, 1),
+                    "beam4_decode_img_s": round(beam_img_s, 1),
                     "clip_vit_b32_encode_img_s": round(clip_img_s, 1),
                     "vs_reference_gpu_extraction_65_img_s": round(clip_img_s / 65.0, 1),
                     "train_step_captions_s_b128": round(train_caps_s, 1),

@@ -562,11 +562,11 @@ def beam_generate(
         and mesh is None
         and DS.BLOCK_B % k == 0
     )
+    # narrow (tw=384) weight tiles unconditionally: beam mode's ancestry
+    # gather needs the VMEM headroom even at 128-row blocks, and 256-row
+    # blocks (b·k % 256 == 0) halve the weight stream on top
     packed = (
-        DS.pack_decode_weights(
-            gpt_params, policy.compute_dtype,
-            tw=384 if (b * k) % 256 == 0 else DS.TILE_W,
-        )
+        DS.pack_decode_weights(gpt_params, policy.compute_dtype, tw=384)
         if fused
         else None
     )

@@ -777,6 +777,11 @@ def fused_decode_step(
         )
     bb = min(block_b, -(-b // 8) * 8)  # batch is a tiled dim: 8-align blocks
     ct = chunk_t or (CHUNK_T // 2 if bb > BLOCK_B else CHUNK_T)
+    if beam_k and chunk_t is None:
+        # the ancestry gather keeps ~2k shifted chunk copies live on the
+        # VMEM stack; half-depth chunks keep the kernel under the 16 MB
+        # scoped limit (measured: ct=8 beam at bb=128 allocates 19 MB)
+        ct = max(1, ct // 2)
     ct = min(ct, tpad)
     # the chunk walk reads rows [c*ct, (c+1)*ct): a non-dividing ct would let
     # the final chunk DMA run past the cache (init_cache pads T to 16, so the
@@ -854,7 +859,11 @@ def fused_decode_step(
             vm(packed["cprojb"].shape),
             *scale_specs,
             *(
-                [pl.BlockSpec(memory_space=pl.ANY)]  # origin map, DMA-chunked
+                # origin map, DMA-chunked.  Explicitly HBM: it is small
+                # enough that ANY placed it in VMEM, where (ct, bb) chunk
+                # slices with ct < 8 violate the (8, 128) int32 tiling —
+                # HBM memrefs are untiled and slice arbitrarily
+                [pl.BlockSpec(memory_space=pltpu.HBM)]
                 if beam_k
                 else []
             ),
