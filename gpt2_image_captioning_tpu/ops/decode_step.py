@@ -113,8 +113,11 @@ def _step_kernel(
     # rest (order fixed by fused_decode_step's in_specs):
     #   [qkvs, projs, fcs, cprojs, wtes]  — (quant mode only) per-output-
     #       column dequant scales, tiled like the biases / (NT_v, 1, VW)
-    #   [origin] — (beam mode only) (Tpad, BB) int32 ancestry map: attention
-    #       over position t for decode row r reads cache row origin[t, r]
+    #   [origin] — (beam mode only) (Tpad/CT, CT, B) int32 ancestry map:
+    #       attention over position c*CT+t for decode row r reads cache row
+    #       origin[c, t, r].  Chunk-major 3D so the per-chunk DMA slices
+    #       only the untiled leading dim (a (ct<8, bb) 2D slice violates
+    #       the (8, 128) HBM tiling — Mosaic rejects it even in HBM)
     #   lnf (2, D) f32; hs (D, H) cdt; he (H, D) f32
     #   HBM weights (pre-tiled): qkvw (L, NT_qkv, D, TW), projw, fcw,
     #       cprojw (tiles int8 in quant mode), wtet (NT_v, D, VW)
@@ -320,7 +323,7 @@ def _step_kernel(
 
         def o_dma(slot, c):
             return pltpu.make_async_copy(
-                origin_ref.at[pl.ds(c * ct, ct), pl.ds(bi * bb, bb)],
+                origin_ref.at[c, :, pl.ds(bi * bb, bb)],
                 obuf.at[slot],
                 osem.at[slot],
             )
@@ -805,6 +808,10 @@ def fused_decode_step(
             origin = jnp.concatenate([origin.astype(jnp.int32), pad_rows], axis=1)
     bp = x0.shape[0]
     nb = bp // bb
+    if origin is not None:
+        # chunk-major 3D layout: the kernel DMAs plane c per chunk (see
+        # _step_kernel's origin comment for why 2D sub-tile slices fail)
+        origin = origin.reshape(tpad // ct, ct, bp)
 
     hs = _head_sum_matrix(d, n_head, cdt)
     he = _head_sum_matrix(d, n_head, jnp.float32).T

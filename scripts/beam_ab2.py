@@ -90,6 +90,23 @@ def main() -> None:
         mism = int((toks_xla != toks_fused).sum())
         total = toks_xla.size
         log(f"token mismatches: {mism}/{total}")
+        # divergence structure: on random-init weights the beams are wall-to-
+        # wall near-ties, so ONE bf16 rounding flip (kernel and XLA reduce in
+        # different orders) rewrites that row's whole suffix.  Rows that
+        # diverge late share a long exact prefix — evidence the selection
+        # math agrees and only tie-breaking differs (interpret-mode tests
+        # are bit-exact vs XLA).
+        diff = toks_xla != toks_fused
+        rows_div = diff.any(axis=1)
+        first = np.where(rows_div, diff.argmax(axis=1), toks_xla.shape[1])
+        log(
+            f"rows diverged: {int(rows_div.sum())}/{toks_xla.shape[0]}; "
+            f"mean first-divergence step of those: "
+            f"{float(first[rows_div].mean()) if rows_div.any() else float('nan'):.1f}/{max_len}"
+        )
+        # determinism: same path twice must match exactly
+        toks_fused2, _ = run(emb, b, fused=True)
+        log(f"fused determinism mismatches: {int((toks_fused != toks_fused2).sum())}")
 
     log("done")
 
