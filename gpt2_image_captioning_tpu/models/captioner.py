@@ -35,6 +35,7 @@ from gpt2_image_captioning_tpu.core.precision import F32, Policy
 from gpt2_image_captioning_tpu.models import gpt2 as G
 from gpt2_image_captioning_tpu.models import mapping as M
 from gpt2_image_captioning_tpu.ops import decode_step as DS
+from gpt2_image_captioning_tpu.ops import prefill_step as PS
 from gpt2_image_captioning_tpu.ops.sampling import sample_token, topk_small
 from gpt2_image_captioning_tpu.ops.xent import xent_sum
 
@@ -261,18 +262,42 @@ def generate(
             is_leaf=lambda x: isinstance(x, _P),
         )
         cache = jax.lax.with_sharding_constraint(cache, cache_sh)
-    logits, cache = G.forward_cached(
-        gpt_params, cfg.gpt2, prefix, cache, policy, fresh_prefill=True
-    )
-
-    tokens0 = jnp.full((b, max_length), eos, dtype=jnp.int32)
-    finished0 = jnp.zeros((b,), dtype=bool)
 
     # dp-only meshes keep the fused kernel: shard_map splits the batch and
     # each device runs the single-device kernel on its shard (per-shard EOS
     # early exit included).  tp>1 falls through to the GSPMD XLA path (the
     # kernel's weight walk can't be partitioned).
     fused_enabled = DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode)
+
+    # Prefill: the fused whole-prefill kernel (ops/prefill_step.py) is an
+    # opt-in (GIC_ENABLE_FUSED_PREFILL=1) — the on-chip A/B measured it at
+    # parity-to-slightly-slower vs the XLA chain (prefill is shape-bound,
+    # not dispatch-bound; PERF_NOTES round 3), so the gate defaults off.
+    # int8 packs carry no float tiles and meshes partition the XLA path, so
+    # both always keep forward_cached.
+    prefill_fused = (
+        PS.fused_prefill_enabled(cfg.gpt2, policy, use_pallas_decode)
+        and mesh is None
+        and not decode_quant
+        and (packed is None or "qkvs" not in packed)
+        and p_len <= 32
+    )
+    if prefill_fused:
+        if packed is None:
+            packed = DS.pack_decode_weights(
+                gpt_params, policy.compute_dtype,
+                tw=384 if b % 256 == 0 else DS.TILE_W,
+            )
+        logits, cache = PS.prefill_into_cache(
+            packed, gpt_params, cfg.gpt2, prefix, cache, policy
+        )
+    else:
+        logits, cache = G.forward_cached(
+            gpt_params, cfg.gpt2, prefix, cache, policy, fresh_prefill=True
+        )
+
+    tokens0 = jnp.full((b, max_length), eos, dtype=jnp.int32)
+    finished0 = jnp.zeros((b,), dtype=bool)
     fused_ok = temperature == 0.0 and fused_enabled
     dp_fused = (
         mesh is not None
@@ -526,30 +551,6 @@ def beam_generate(
     prefix = build_prefix(trainable, cfg, image_embeddings, policy)
     b, p_len, d = prefix.shape
 
-    # expand to (B*K, ...) beams
-    prefix = jnp.repeat(prefix, k, axis=0)
-    cache = G.init_cache(cfg.gpt2, b * k, p_len + max_length, dtype=policy.compute_dtype)
-    if mesh is not None:
-        from jax.sharding import NamedSharding
-        from jax.sharding import PartitionSpec as _P
-
-        cache_sh = jax.tree.map(
-            lambda s: NamedSharding(mesh, s),
-            G.cache_partition_specs(cfg.gpt2),
-            is_leaf=lambda x: isinstance(x, _P),
-        )
-        cache = jax.lax.with_sharding_constraint(cache, cache_sh)
-    logits, cache = G.forward_cached(
-        gpt_params, cfg.gpt2, prefix, cache, policy, fresh_prefill=True
-    )
-
-    neg_inf = jnp.finfo(jnp.float32).min
-    # only beam 0 is live initially so the first step doesn't duplicate beams
-    scores0 = jnp.tile(jnp.array([0.0] + [neg_inf] * (k - 1), jnp.float32), (b, 1))
-    tokens0 = jnp.full((b, k, max_length), eos, dtype=jnp.int32)
-    finished0 = jnp.zeros((b, k), dtype=bool)
-    lengths0 = jnp.zeros((b, k), dtype=jnp.int32)
-
     # TPU default: the beam-aware fused kernel (ancestry-indirected
     # attention + in-kernel per-row top-k/logsumexp — see docstring).  The
     # round-2 opt-in fused forward (emit_logits + per-step cache gather)
@@ -570,6 +571,56 @@ def beam_generate(
         if fused
         else None
     )
+
+    prefill_fused = (
+        fused
+        and PS.fused_prefill_enabled(cfg.gpt2, policy, use_pallas_decode)
+        and p_len <= 32
+    )
+    if prefill_fused:
+        # opt-in fused prefill (GIC_ENABLE_FUSED_PREFILL=1; default-off
+        # after the on-chip A/B — see generate()): all K beams of an image
+        # are identical before the first token, so prefill only the B unique
+        # rows and replicate the cache rows K× (measured a wash end-to-end:
+        # beam time is decode-dominated).
+        cache_b = G.init_cache(
+            cfg.gpt2, b, p_len + max_length, dtype=policy.compute_dtype
+        )
+        logits_b, cache_b = PS.prefill_into_cache(
+            packed, gpt_params, cfg.gpt2, prefix, cache_b, policy
+        )
+        cache = {
+            "k": jnp.repeat(cache_b["k"], k, axis=2),
+            "v": jnp.repeat(cache_b["v"], k, axis=2),
+            "index": cache_b["index"],
+        }
+        logits = jnp.repeat(logits_b, k, axis=0)
+    else:
+        # expand to (B*K, ...) beams
+        prefix_k = jnp.repeat(prefix, k, axis=0)
+        cache = G.init_cache(
+            cfg.gpt2, b * k, p_len + max_length, dtype=policy.compute_dtype
+        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            cache_sh = jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                G.cache_partition_specs(cfg.gpt2),
+                is_leaf=lambda x: isinstance(x, _P),
+            )
+            cache = jax.lax.with_sharding_constraint(cache, cache_sh)
+        logits, cache = G.forward_cached(
+            gpt_params, cfg.gpt2, prefix_k, cache, policy, fresh_prefill=True
+        )
+
+    neg_inf = jnp.finfo(jnp.float32).min
+    # only beam 0 is live initially so the first step doesn't duplicate beams
+    scores0 = jnp.tile(jnp.array([0.0] + [neg_inf] * (k - 1), jnp.float32), (b, 1))
+    tokens0 = jnp.full((b, k, max_length), eos, dtype=jnp.int32)
+    finished0 = jnp.zeros((b, k), dtype=bool)
+    lengths0 = jnp.zeros((b, k), dtype=jnp.int32)
 
     def select(scores, finished, vals, tok_k, lse):
         """Union-of-per-beam-top-k candidate selection (shared by both

@@ -139,17 +139,62 @@ def main() -> None:
 
     log(f"C prefill rows-scan + one write  : {timed(nloop(s_prefill_rows), gpt_params, prefix_const):7.3f} ms/iter")
 
-    # D. numerics check A==B for the rows variant vs current (same cache rows)
+    # D. numerics: candidate logits + written cache rows == current path
+    def rows_outputs(gp, px):
+        x = px
+        pos = gp["wpe"][:p_len].astype(jnp.float32)
+        x = (x.astype(jnp.float32) + pos[None]).astype(policy.compute_dtype)
+
+        def body(x, bp):
+            h = nn.layer_norm(bp["ln_1"], x, gcfg.layer_norm_epsilon)
+            qkv = nn.dense(bp["attn"]["c_attn"], h, policy)
+            q3, k3, v3 = jnp.split(qkv, 3, axis=-1)
+            a4 = mha(
+                nn.split_heads(q3, gcfg.n_head),
+                nn.split_heads(k3, gcfg.n_head),
+                nn.split_heads(v3, gcfg.n_head),
+                causal=True,
+                policy=policy,
+            )
+            a = nn.merge_heads(a4)
+            x = x + nn.dense(bp["attn"]["c_proj"], a, policy)
+            h2 = nn.layer_norm(bp["ln_2"], x, gcfg.layer_norm_epsilon)
+            h2 = nn.gelu_new(nn.dense(bp["mlp"]["c_fc"], h2, policy))
+            x = x + nn.dense(bp["mlp"]["c_proj"], h2, policy)
+            return x, (
+                k3.transpose(1, 0, 2).astype(policy.compute_dtype),
+                v3.transpose(1, 0, 2).astype(policy.compute_dtype),
+            )
+
+        x, (k_rows, v_rows) = jax.lax.scan(body, x, gp["blocks"])
+        xl = nn.layer_norm(gp["ln_f"], x[:, -1:, :], gcfg.layer_norm_epsilon)
+        logits = jnp.dot(
+            policy.cast(xl[:, 0, :]),
+            gp["wte"].T.astype(policy.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits, k_rows, v_rows
+
+    log("checking parity of candidate vs current...")
     cache0 = G.init_cache(gcfg, b, p_len + max_len, dtype=policy.compute_dtype)
     lg_cur, cache_cur = jax.jit(
         lambda gp, px, cc: G.forward_cached(gp, gcfg, px, cc, policy, fresh_prefill=True)
     )(gpt_params, prefix_const, cache0)
-    log("checking parity of candidate vs current...")
-    # reuse the candidate body via one non-looped call
-    def one_rows(gp, px):
-        return s_prefill_rows(jnp.float32(0), gp, px)
-
-    _ = jax.jit(one_rows)(gpt_params, prefix_const)  # compile sanity only
+    lg_new, k_rows, v_rows = jax.jit(rows_outputs)(gpt_params, prefix_const)
+    dl = float(np.abs(np.asarray(lg_cur) - np.asarray(lg_new)).max())
+    dk = float(
+        np.abs(
+            np.asarray(cache_cur["k"][:, :p_len]).astype(np.float32)
+            - np.asarray(k_rows).astype(np.float32)
+        ).max()
+    )
+    dv = float(
+        np.abs(
+            np.asarray(cache_cur["v"][:, :p_len]).astype(np.float32)
+            - np.asarray(v_rows).astype(np.float32)
+        ).max()
+    )
+    log(f"max |Δlogits|={dl:.3e}  max |Δk|={dk:.3e}  max |Δv|={dv:.3e}")
     log("done")
 
 
