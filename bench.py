@@ -259,10 +259,16 @@ def main() -> None:
 
     log("compiling clip encode...")
     np.asarray(encode(vparams, px))  # compile + sync
+    np.asarray(encode(vparams, px))  # warm dispatch
+    # pipelined dispatch like the decode legs (serving-style): a per-rep
+    # np.asarray sync pays the ~24 ms tunnel roundtrip every rep, which
+    # halved the round-2 committed number (device-true is ~9,200 img/s at
+    # b=256 — scripts/clip_encode_ab.py, in-jit N-rep timing)
     t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(encode(vparams, px))
-    clip_img_s = enc_batch * 5 / (time.perf_counter() - t0)
+    eouts = [encode(vparams, px) for _ in range(8)]
+    for o in eouts:
+        np.asarray(o)
+    clip_img_s = enc_batch * 8 / (time.perf_counter() - t0)
     log(f"clip encode: {clip_img_s:.1f} img/s")
 
     print(
