@@ -503,6 +503,150 @@ def prepare_decode_weights(trainable: dict, frozen: dict, cfg: CaptionerConfig,
 
 
 # ---------------------------------------------------------------------------
+# Continuous batching (rolling admission) — segment decode + admission prefill
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "steps", "policy"),
+    donate_argnums=(3, 4),
+)
+def decode_segment(
+    packed: dict,
+    wte: jnp.ndarray,
+    wpe: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    idx: jnp.ndarray,
+    start: jnp.ndarray,
+    prev: jnp.ndarray,
+    finished: jnp.ndarray,
+    *,
+    cfg: CaptionerConfig,
+    steps: int,
+    policy: Policy,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run ``steps`` fused decode steps on a live continuous-serving batch.
+
+    The serving state lives on device between calls: caches ``k``/``v``
+    ((L, Tmax, S, D), donated — updated in place), the global append
+    position ``idx``, per-row admission offsets ``start`` (each row attends
+    only to its window ``[start_r, idx)``), previous tokens ``prev`` and the
+    EOS mask ``finished``.  Rows whose requests already ended keep stepping
+    on EOS padding until the service swaps a queued request into them
+    (ContinuousCaptionService in ``serving.py``) — the same finished-row
+    semantics as :func:`generate`'s fused loop, minus the early exit (the
+    batch never drains as a whole).
+
+    Returns ``(tokens (S, steps) int32, k, v, idx', prev', finished')``.
+    Extends the reference's notebook decode loop
+    (/root/reference/src/models.py:389-469) to rolling-admission serving —
+    a mode the reference does not have.
+    """
+    eos = cfg.eos_token_id
+
+    def body(carry, _):
+        k, v, idx, prev, finished = carry
+        local = idx - start  # per-row position for the learned absolute PE
+        x0 = (
+            jnp.take(wte, prev, axis=0) + jnp.take(wpe, local, axis=0)
+        ).astype(policy.compute_dtype)
+        nxt, k, v = DS.fused_decode_step(
+            packed, x0, k, v, idx,
+            n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+            eps=cfg.gpt2.layer_norm_epsilon, start=start,
+        )
+        finished = jnp.logical_or(finished, nxt == eos)
+        nxt = jnp.where(finished, eos, nxt)
+        return (k, v, idx + 1, nxt, finished), nxt
+
+    (k, v, idx, prev, finished), toks = jax.lax.scan(
+        body, (k, v, idx, prev, finished), None, length=steps
+    )
+    return toks.T, k, v, idx, prev, finished
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "policy"),
+    donate_argnums=(4, 5),
+)
+def admit_prefill(
+    trainable: dict,
+    frozen: dict,
+    cfg: CaptionerConfig,
+    emb: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    idx: jnp.ndarray,
+    rows: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    policy: Policy,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Admit up to ``n`` requests into freed rows of a live decode batch.
+
+    ``emb`` (n, E) image embeddings → mapper prefix (n, P, D) → XLA prefill
+    with LOCAL positions → the K/V rows land in cache positions
+    ``[idx-P, idx)`` of the freed rows (dead history of the replaced
+    requests), so the admitted rows join the uniform append position
+    ``idx``; their ``start`` is ``idx - P``.  ``rows`` (n,) int32 slot
+    indices; ``valid`` masks padding entries (callers pad ``n`` up to a
+    small set of bucket sizes to bound compile count).  Padding entries
+    must duplicate ``rows[0]`` — they then write row 0's own new values, so
+    duplicate-index scatter stays deterministic.  At least one entry must
+    be valid.
+
+    Returns ``(first_token (n,) int32, k, v)`` — the argmax over the last
+    prefix position's logits, i.e. each admitted request's first generated
+    token (mirrors the prefill step of :func:`generate`).
+    """
+    gpt_params = _gpt(trainable, frozen)
+    prefix = build_prefix(trainable, cfg, emb, policy)
+    n, p, d = prefix.shape
+    n_layer = k.shape[0]
+
+    cache_n = G.init_cache(cfg.gpt2, n, p, dtype=policy.compute_dtype)
+    logits, cache_n = G.forward_cached(
+        gpt_params, cfg.gpt2, prefix, cache_n, policy, fresh_prefill=True
+    )
+    k_rows = cache_n["k"][:, :p].astype(k.dtype)  # (L, P, n, D)
+    v_rows = cache_n["v"][:, :p].astype(v.dtype)
+    # padding entries re-write rows[0] with rows[0]'s own new values
+    k_rows = jnp.where(valid[None, None, :, None], k_rows, k_rows[:, :, :1])
+    v_rows = jnp.where(valid[None, None, :, None], v_rows, v_rows[:, :, :1])
+
+    def scatter(cache, rows_new):
+        win = jax.lax.dynamic_slice(
+            cache, (0, idx - p, 0, 0),
+            (n_layer, p, cache.shape[2], cache.shape[3]),
+        )
+        win = win.at[:, :, rows, :].set(rows_new)
+        return jax.lax.dynamic_update_slice(cache, win, (0, idx - p, 0, 0))
+
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return first, scatter(k, k_rows), scatter(v, v_rows)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def compact_cache(
+    k: jnp.ndarray, v: jnp.ndarray, shift: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Slide every live attention window down by ``shift`` positions.
+
+    Under rolling admission the uniform append position ``idx`` only grows;
+    when it nears the cache capacity the serving loop rolls the T axis down
+    by ``shift = min(start of live rows)`` and subtracts ``shift`` from
+    ``idx`` and every ``start`` — per-row windows ``[start_r, idx)`` are
+    preserved verbatim because the shift is uniform.  The rolled-around tail
+    is dead history (above the new ``idx``), never read thanks to the
+    per-row validity mask in the fused kernel.  One full cache copy,
+    amortized over ~``t_max - max_window`` decode steps.
+    """
+    return jnp.roll(k, -shift, axis=1), jnp.roll(v, -shift, axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Beam search (capability add over the reference; driver config ③)
 # ---------------------------------------------------------------------------
 

@@ -103,10 +103,13 @@ def _beam_gather(x3: jnp.ndarray, delta: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _step_kernel(
-    # scalar prefetch
+    # scalar prefetch: [idx, c0] — c0 = first attention chunk with any live
+    # row (continuous batching skips chunks older than every row's start)
     idx_ref,
     # VMEM inputs
-    x_ref,          # (BB, D) compute dtype — wte[token] + wpe[idx]
+    x_ref,          # (BB, D) compute dtype — wte[token] + wpe[local position]
+    start_ref,      # (1, BB) int32 — per-row first valid cache position
+                    # (all-zeros outside continuous serving)
     ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,          # (L, D) f32
     attnb_ref, projb_ref, fcb_ref, cprojb_ref,       # (L, nc, 1, TW) f32 tiles
     *rest,
@@ -184,6 +187,7 @@ def _step_kernel(
     bi = pl.program_id(0)
     bb = x_ref.shape[0]
     idx = idx_ref[0]
+    c0 = idx_ref[1]
     nchunks = (idx + ct - 1) // ct
     scale = 1.0 / math.sqrt(d // n_head)
     cdt = x_ref.dtype
@@ -336,9 +340,9 @@ def _step_kernel(
                 dmas.append(o_dma(slot, c))
             return dmas
 
-        @pl.when(nchunks > 0)
+        @pl.when(nchunks > c0)
         def _():
-            for dma in chunk_dmas(0, 0):
+            for dma in chunk_dmas(jax.lax.rem(c0, 2), c0):
                 dma.start()
 
         def body(c, carry):
@@ -378,7 +382,9 @@ def _step_kernel(
                 prod.reshape(ct * bb, d), hs_ref[...], preferred_element_type=jnp.float32
             ).reshape(ct, bb, n_head) * scale
             kpos = c * ct + jax.lax.broadcasted_iota(jnp.int32, (ct, bb, n_head), 0)
-            live = kpos < idx
+            # per-row validity window [start_r, idx): rows admitted mid-window
+            # (continuous batching) only attend to their own prefix+tokens
+            live = (kpos < idx) & (kpos >= start_ref[...][:, :, None])
             s = jnp.where(live, s, NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=0))
             p = jnp.where(live, jnp.exp(s - m_new[None, :, :]), 0.0)
@@ -398,7 +404,7 @@ def _step_kernel(
         m0 = jnp.full((bb, n_head), NEG_INF, jnp.float32)
         l0 = jnp.zeros((bb, n_head), jnp.float32)
         acc0 = jnp.zeros((bb, d), jnp.float32)
-        m, l_run, acc = jax.lax.fori_loop(0, nchunks, body, (m0, l0, acc0))
+        m, l_run, acc = jax.lax.fori_loop(c0, nchunks, body, (m0, l0, acc0))
 
         # epilogue: the new token, straight from VMEM
         s_new = jnp.dot(q * kn, hs_ref[...], preferred_element_type=jnp.float32) * scale
@@ -717,6 +723,7 @@ def fused_decode_step(
     origin: jnp.ndarray | None = None,
     beam_k: int = 0,
     topk: int = 0,
+    start: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, ...]:
     """One fused decode step.
 
@@ -750,6 +757,13 @@ def fused_decode_step(
     int32, logsumexp (B, 1) f32, k_cache', v_cache')`` — exactly the
     quantities beam search's union-of-per-beam-top-k selection needs,
     without the full-logits HBM round-trip of ``emit_logits``.
+
+    ``start`` ((B,) int32, default zeros): per-row first valid cache
+    position — continuous batching (rolling admission) writes an admitted
+    request's prefix into cache positions ``[idx-p, idx)`` of a freed row
+    and sets that row's start, so every row appends at the same ``idx``
+    while attending only to its own window ``[start_r, idx)``.  The chunk
+    walk starts at ``min(start) // ct`` (dead history is never read).
     """
     from gpt2_image_captioning_tpu.ops.decode_attention import _head_sum_matrix
 
@@ -792,9 +806,16 @@ def fused_decode_step(
     assert tpad % ct == 0, (tpad, ct)
     if beam_k:
         assert bb % beam_k == 0, (bb, beam_k)  # groups must not straddle blocks
+    if start is None:
+        startv = jnp.zeros((b,), jnp.int32)
+        c0 = jnp.zeros((), jnp.int32)
+    else:
+        startv = start.astype(jnp.int32)
+        c0 = jnp.min(startv) // ct
     pad_b = (-b) % bb
     if pad_b:
         x0 = jnp.pad(x0, ((0, pad_b), (0, 0)))
+        startv = jnp.pad(startv, (0, pad_b))
         k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
         if cache_quant:
@@ -856,6 +877,7 @@ def fused_decode_step(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((bb, d), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((1, bb), lambda bi, s: (0, bi), memory_space=pltpu.VMEM),  # start
             vm(packed["ln1s"].shape),
             vm(packed["ln1b"].shape),
             vm(packed["ln2s"].shape),
@@ -954,7 +976,7 @@ def fused_decode_step(
         ],
     )
     # caches (+ cache scales) are the last inputs; head outputs come first
-    n_in = 18 + len(scale_args) + (1 if beam_k else 0)
+    n_in = 19 + len(scale_args) + (1 if beam_k else 0)
     n_head_out = 3 if topk else 1
     aliases = {n_in: n_head_out, n_in + 1: n_head_out + 1}
     if topk:
@@ -988,8 +1010,11 @@ def fused_decode_step(
         input_output_aliases=aliases,
         interpret=interpret,
     )(
-        jnp.asarray(idx, jnp.int32).reshape(1),
+        jnp.stack(
+            [jnp.asarray(idx, jnp.int32).reshape(()), c0.astype(jnp.int32)]
+        ),
         x0,
+        startv[None, :],
         packed["ln1s"], packed["ln1b"], packed["ln2s"], packed["ln2b"],
         packed["attnb"], packed["projb"], packed["fcb"], packed["cprojb"],
         *scale_args,

@@ -41,6 +41,51 @@ from gpt2_image_captioning_tpu.embeddings.preprocess import (
 )
 
 
+def _make_frontend(vision_cfg, encoder, encode_fn, spec, policy):
+    """Resolve the vision frontend shared by both serving classes.
+
+    Returns ``(spec, jitted_encode)`` where ``jitted_encode(vparams,
+    batch_u8)`` runs normalize → encoder → L2-norm on device.  A custom
+    ``encode_fn`` may carry its own PreprocessSpec via ``spec``; named
+    encoders default to their standard spec, with the resize step scaled
+    when the vision config's ``image_size`` differs from the 224-px
+    production towers (tiny test configs, alternative resolutions)."""
+    if encode_fn is None:
+        if encoder == "clip":
+            from gpt2_image_captioning_tpu.models.clip import encode_image
+        elif encoder == "vit":
+            from gpt2_image_captioning_tpu.models.vit import encode_image
+        elif encoder == "dino":
+            from gpt2_image_captioning_tpu.models.dino import encode_image
+        else:
+            raise ValueError(f"unknown encoder {encoder!r}")
+        encode_fn = encode_image
+    if spec is None:
+        if encoder not in SPECS:
+            raise ValueError(
+                f"unknown encoder {encoder!r}; pass spec= with a custom encode_fn"
+            )
+        spec = SPECS[encoder]
+    size = getattr(vision_cfg, "image_size", None)
+    base = spec.crop or spec.resize
+    if size and size != base:
+        import dataclasses as _dc
+
+        spec = _dc.replace(
+            spec,
+            resize=max(1, round(spec.resize * size / base)),
+            crop=size if spec.crop else None,
+        )
+    final_spec = spec
+
+    @jax.jit
+    def _encode(vparams, batch_u8):
+        px = normalize_on_device(batch_u8, final_spec)
+        return encode_fn(vparams, vision_cfg, px, policy=policy, normalize=True)
+
+    return spec, _encode
+
+
 class CaptionService:
     """images → captions with fixed-shape compiled device stages.
 
@@ -69,60 +114,22 @@ class CaptionService:
     ):
         from gpt2_image_captioning_tpu.core.precision import BF16
 
-        if encode_fn is None:
-            if encoder == "clip":
-                from gpt2_image_captioning_tpu.models.clip import encode_image
-            elif encoder == "vit":
-                from gpt2_image_captioning_tpu.models.vit import encode_image
-            elif encoder == "dino":
-                from gpt2_image_captioning_tpu.models.dino import encode_image
-            else:
-                raise ValueError(f"unknown encoder {encoder!r}")
-            encode_fn = encode_image
         self.model = model
-        # a custom encode_fn may carry its own PreprocessSpec; named encoders
-        # default to their standard spec
-        if spec is None:
-            if encoder not in SPECS:
-                raise ValueError(
-                    f"unknown encoder {encoder!r}; pass spec= with a custom encode_fn"
-                )
-            spec = SPECS[encoder]
-        # geometry follows the vision model's actual input size (the standard
-        # specs assume the 224-px production towers; tiny test configs and
-        # alternative resolutions scale the resize step proportionally)
-        size = getattr(vision_cfg, "image_size", None)
-        base = spec.crop or spec.resize
-        if size and size != base:
-            import dataclasses as _dc
-
-            spec = _dc.replace(
-                spec,
-                resize=max(1, round(spec.resize * size / base)),
-                crop=size if spec.crop else None,
-            )
-        self.spec = spec
+        policy = policy or BF16
+        self.spec, self._encode = _make_frontend(
+            vision_cfg, encoder, encode_fn, spec, policy
+        )
         self.batch_size = batch_size
         self.max_length = max_length
         self.temperature = temperature
         self.top_p = top_p
         self.decode_precision = decode_precision
-        policy = policy or BF16
         self._stats = {"images": 0, "requests": 0, "device_s": 0.0}
         # sampled decoding (temperature > 0) advances this key per device
         # batch so repeated requests draw fresh captions; pass rng= for
         # reproducible serving
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._draws = 0
-
-        final_spec = self.spec
-
-        @jax.jit
-        def _encode(vparams, batch_u8):
-            px = normalize_on_device(batch_u8, final_spec)
-            return encode_fn(vparams, vision_cfg, px, policy=policy, normalize=True)
-
-        self._encode = _encode
         self._vparams = vision_params
 
     def _next_rng(self) -> jax.Array:
@@ -227,6 +234,341 @@ class CaptionService:
         s = dict(self._stats)
         if s["device_s"] > 0:
             s["img_per_s"] = s["images"] / s["device_s"]
+        return s
+
+
+class ContinuousCaptionService:
+    """Rolling-admission ("continuous batching") caption serving.
+
+    ``CaptionService`` decodes synchronous fixed batches: every request in a
+    device batch waits for the slowest caption before the next batch starts,
+    so short captions pay the longest caption's latency and freed rows idle.
+    This service keeps a fixed pool of ``slots`` decode rows live *across*
+    requests: the fused decode kernel runs ``segment``-step bursts over the
+    whole pool, and whenever a row's caption finishes (EOS or
+    ``max_length``) the next queued request is prefilled straight into the
+    freed row — mid-flight — while every other row keeps decoding.
+
+    Device mechanics (``models/captioner.py``): all rows append at one
+    uniform cache position ``idx``; an admitted request's prefix is written
+    into its row's *past* positions ``[idx-P, idx)`` (``admit_prefill``) and
+    the fused kernel masks each row's attention to its own window
+    ``[start_r, idx)`` (the ``start`` operand of
+    ``ops/decode_step.fused_decode_step``).  When ``idx`` nears the cache
+    capacity the whole cache rolls down by ``min(start)``
+    (``compact_cache``), which preserves every live window verbatim.
+
+    Token-for-token identical to one-shot greedy :func:`generate` for every
+    request (``tests/test_continuous.py``).  Greedy only — the in-kernel
+    argmax is what makes segment bursts host-free; sampled serving stays on
+    ``CaptionService``.  The reference has no serving surface at all (its
+    decode is a notebook loop, ``/root/reference/src/models.py:389-469``);
+    continuous batching is this framework's production capability add.
+
+    Compiled-program inventory (all fixed-shape): one ``decode_segment``,
+    one ``compact_cache``, and one encode + one ``admit_prefill`` per
+    admission bucket (buckets default to powers of two up to ``slots``).
+    """
+
+    def __init__(
+        self,
+        model,
+        vision_params,
+        vision_cfg,
+        *,
+        encoder: str = "clip",
+        encode_fn=None,
+        slots: int = 64,
+        segment: int = 8,
+        max_length: int = 50,
+        t_max: int | None = None,
+        decode_precision: str | None = None,
+        admit_buckets: Sequence[int] | None = None,
+        min_admit: int = 1,
+        spec=None,
+    ):
+        from gpt2_image_captioning_tpu.models import captioner as C
+
+        self.model = model
+        self._C = C
+        quant = decode_precision == "int8"
+        tr, fz, pol = model.decode_params("bf16" if quant else decode_precision)
+        self._tr, self._fz, self._pol = tr, fz, pol
+        cfg = model.cfg
+        self.cfg = cfg
+        self.spec, self._encode = _make_frontend(
+            vision_cfg, encoder, encode_fn, spec, pol
+        )
+        self._vparams = vision_params
+        self.slots = slots
+        self.segment = segment
+        self.max_length = max_length
+        self.min_admit = min_admit
+        self._packed = C.prepare_decode_weights(
+            tr, fz, cfg, pol, quant=quant, tw=384 if slots % 256 == 0 else None
+        )
+        gp = C._gpt(tr, fz)
+        self._wte, self._wpe = gp["wte"], gp["wpe"]
+
+        # total prefix length (mapping output ⧺ optional task prefix)
+        emb_dim = cfg.mapping.embed_dim
+        self._p = jax.eval_shape(
+            lambda e: C.build_prefix(tr, cfg, e, pol),
+            jax.ShapeDtypeStruct((1, emb_dim), jnp.float32),
+        ).shape[1]
+        p = self._p
+        # capacity: the longest live window is P + max_length; one segment of
+        # headroom lets compaction run *before* a burst, rounded up to the
+        # kernel's CHUNK_T granularity (cache T must divide into DMA chunks)
+        need = p + max_length + segment
+        t_max = max(t_max or 0, need)
+        self.t_max = -(-t_max // 8) * 8
+        if admit_buckets is None:
+            admit_buckets = []
+            b = 1
+            while b < slots:
+                admit_buckets.append(b)
+                b *= 2
+            admit_buckets.append(slots)
+        self._buckets = sorted(set(admit_buckets))
+
+        # device state
+        shape = (cfg.gpt2.n_layer, self.t_max, slots, cfg.gpt2.n_embd)
+        self._k = jnp.zeros(shape, pol.compute_dtype)
+        self._v = jnp.zeros(shape, pol.compute_dtype)
+        self._idx = p
+        # host-mirrored per-row state (tiny (slots,) vectors, re-uploaded per
+        # burst — admission and harvest mutate them between device calls)
+        self._start = np.full((slots,), p, np.int32)
+        self._prev = np.zeros((slots,), np.int32)
+        self._finished = np.ones((slots,), bool)  # all rows empty
+        self._slot_req = [-1] * slots
+        self._emitted: dict[int, list[int]] = {}
+        self._queue: list[tuple[int, np.ndarray, bool]] = []
+        self._req_max: dict[int, int] = {}  # per-request caps (optional)
+        self._submit_t: dict[int, float] = {}
+        self._latencies: list[float] = []  # submit → caption seconds
+        self._results: dict[int, str] = {}
+        self._next_id = 0
+        self._stats = {"images": 0, "segments": 0, "device_s": 0.0}
+
+    # -- request intake ------------------------------------------------------
+    def _enqueue(self, payload, is_emb: bool, max_length: int | None) -> int:
+        if max_length is not None and not 1 <= max_length <= self.max_length:
+            raise ValueError(
+                f"per-request max_length must be in [1, {self.max_length}]"
+            )
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, payload, is_emb))
+        if max_length is not None:
+            self._req_max[rid] = max_length
+        self._submit_t[rid] = time.perf_counter()
+        return rid
+
+    def submit_array(self, rgb: np.ndarray, max_length: int | None = None) -> int:
+        """Queue one uint8 RGB image (any size); returns a request id.
+
+        ``max_length`` caps this request's caption below the service-wide
+        limit (the cache is provisioned for the service limit)."""
+        return self._enqueue(
+            resize_and_crop(np.asarray(rgb, np.uint8), self.spec), False, max_length
+        )
+
+    def submit_bytes(self, blob: bytes, max_length: int | None = None) -> int:
+        from PIL import Image
+
+        return self.submit_array(
+            np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"), np.uint8),
+            max_length,
+        )
+
+    def submit_embedding(self, emb: np.ndarray, max_length: int | None = None) -> int:
+        """Queue a precomputed image embedding (E,) — skips the vision
+        encoder, serving the reference's embedding-file workflow
+        (``/root/reference/src/utils.py`` loads ``.pt`` embeddings)."""
+        return self._enqueue(np.asarray(emb, np.float32), True, max_length)
+
+    @property
+    def live(self) -> int:
+        return sum(r >= 0 for r in self._slot_req)
+
+    @property
+    def queued(self) -> int:
+        return len(self._queue)
+
+    # -- serving loop --------------------------------------------------------
+    def _finalize(self, row: int) -> None:
+        req = self._slot_req[row]
+        toks = self._emitted.pop(req)
+        self._req_max.pop(req, None)
+        t_sub = self._submit_t.pop(req, None)
+        if t_sub is not None:
+            self._latencies.append(time.perf_counter() - t_sub)
+        if toks and toks[-1] == self.cfg.eos_token_id:
+            toks = toks[:-1]
+        self._results[req] = self.model.tokenizer.batch_decode(
+            np.asarray([toks], np.int32) if toks else np.zeros((1, 0), np.int32),
+            skip_special_tokens=True,
+        )[0]
+        self._slot_req[row] = -1
+        self._stats["images"] += 1
+
+    def _admit(self) -> None:
+        free = [r for r in range(self.slots) if self._slot_req[r] < 0]
+        n = min(len(free), len(self._queue))
+        if n == 0:
+            return
+        # small admissions are prefill-latency-bound: optionally hold freed
+        # rows until min_admit of them can prefill in one bucket (never
+        # deadlocks: with no live rows, or a short tail queue, admit anyway)
+        if (
+            n < self.min_admit
+            and self.live > 0
+            and len(self._queue) > n
+        ):
+            return
+        n = min(n, self._buckets[-1])
+        bucket = next(b for b in self._buckets if b >= n)
+        batch = self._queue[:n]
+        del self._queue[:n]
+        rows = free[:n]
+        pad = bucket - n
+        if any(not is_emb for _, _, is_emb in batch):
+            # encode the image entries at the bucket shape; embedding entries
+            # ride as placeholder pixels and are overwritten below
+            filler = next(a for _, a, e in batch if not e)
+            u8 = np.stack(
+                [a if not e else filler for _, a, e in batch] + [filler] * pad
+            )
+            emb = self._encode(self._vparams, jnp.asarray(u8))
+            emb_rows = [i for i, (_, _, e) in enumerate(batch) if e]
+            if emb_rows:
+                emb = emb.at[jnp.asarray(emb_rows)].set(
+                    jnp.asarray(np.stack([batch[i][1] for i in emb_rows]))
+                )
+        else:  # pure-embedding admission skips the vision tower entirely
+            e0 = batch[0][1]
+            emb = jnp.asarray(
+                np.stack([a for _, a, _ in batch] + [e0] * pad)
+            )
+        rows_a = jnp.asarray(rows + [rows[0]] * pad, jnp.int32)
+        valid = jnp.asarray([True] * n + [False] * pad)
+        first, self._k, self._v = self._C.admit_prefill(
+            self._tr, self._fz, self.cfg, emb,
+            self._k, self._v, jnp.asarray(self._idx, jnp.int32), rows_a, valid,
+            policy=self._pol,
+        )
+        first = np.asarray(first)
+        eos = self.cfg.eos_token_id
+        for i, ((rid, _, _), row) in enumerate(zip(batch, rows)):
+            self._slot_req[row] = rid
+            self._emitted[rid] = [int(first[i])]
+            self._start[row] = self._idx - self._p
+            self._prev[row] = int(first[i])
+            cap = self._req_max.get(rid, self.max_length)
+            done = int(first[i]) == eos or cap <= 1
+            self._finished[row] = done
+            if done:
+                self._finalize(row)
+
+    def step(self) -> dict[int, str]:
+        """One admission + ``segment``-step decode burst.
+
+        Returns the requests completed during this call ({id: caption});
+        they are also retained in :meth:`results` until popped."""
+        t0 = time.perf_counter()
+        before = set(self._results)
+        if self.live == 0:
+            # idle pool: rebase the append position (no cache content is live)
+            self._idx = self._p
+            self._start[:] = self._p
+        self._admit()
+        if self.live == 0:
+            # nothing to decode — idle queue, or every admitted request
+            # finished at its first token
+            self._stats["device_s"] += time.perf_counter() - t0
+            return {r: c for r, c in self._results.items() if r not in before}
+        # compaction: keep idx + segment within capacity
+        if self._idx + self.segment > self.t_max:
+            live_rows = [r for r in range(self.slots) if self._slot_req[r] >= 0]
+            shift = int(min(self._start[r] for r in live_rows))
+            if shift > 0:
+                self._k, self._v = self._C.compact_cache(
+                    self._k, self._v, jnp.asarray(shift, jnp.int32)
+                )
+                self._idx -= shift
+                self._start[live_rows] = self._start[live_rows] - shift
+            assert self._idx + self.segment <= self.t_max, (
+                self._idx, self.segment, self.t_max
+            )
+        # dead rows: empty window at the current append position
+        for r in range(self.slots):
+            if self._slot_req[r] < 0:
+                self._start[r] = self._idx
+                self._finished[r] = True
+        toks, self._k, self._v, idx_d, prev_d, fin_d = self._C.decode_segment(
+            self._packed, self._wte, self._wpe, self._k, self._v,
+            jnp.asarray(self._idx, jnp.int32),
+            jnp.asarray(self._start), jnp.asarray(self._prev),
+            jnp.asarray(self._finished),
+            cfg=self.cfg, steps=self.segment, policy=self._pol,
+        )
+        toks = np.asarray(toks)  # device sync (axon: np.asarray, not block_until_ready)
+        self._idx += self.segment
+        self._prev = np.array(prev_d)  # writable copies — admission mutates
+        self._finished = np.array(fin_d)
+        self._stats["segments"] += 1
+        eos = self.cfg.eos_token_id
+        for row in range(self.slots):
+            req = self._slot_req[row]
+            if req < 0:
+                continue
+            out = self._emitted[req]
+            cap = self._req_max.get(req, self.max_length)
+            for t in range(self.segment):
+                if len(out) >= cap:
+                    break
+                tok = int(toks[row, t])
+                out.append(tok)
+                if tok == eos:
+                    break
+            if len(out) >= cap or out[-1] == eos:
+                self._finalize(row)
+        self._stats["device_s"] += time.perf_counter() - t0
+        return {r: c for r, c in self._results.items() if r not in before}
+
+    def drain(self) -> dict[int, str]:
+        """Run until the queue and every live row are exhausted."""
+        guard = 0
+        limit = 4 * (self.queued + self.live + 1) * (
+            1 + self.max_length // max(1, self.segment)
+        ) + 8
+        while (self._queue or self.live) and guard < limit:
+            guard += 1
+            self.step()
+        if self._queue or self.live:
+            raise RuntimeError("continuous serving loop failed to drain")
+        return dict(self._results)
+
+    def pop_result(self, rid: int) -> str:
+        return self._results.pop(rid)
+
+    def caption_arrays(self, images: Sequence[np.ndarray]) -> list[str]:
+        """Submit + drain; captions in input order (CaptionService parity)."""
+        ids = [self.submit_array(im) for im in images]
+        self.drain()
+        return [self._results.pop(i) for i in ids]
+
+    @property
+    def stats(self) -> dict:
+        s = dict(self._stats)
+        if s["device_s"] > 0:
+            s["img_per_s"] = s["images"] / s["device_s"]
+        if self._latencies:
+            lat = np.sort(self._latencies)
+            s["latency_p50_s"] = float(lat[len(lat) // 2])
+            s["latency_p95_s"] = float(lat[int(len(lat) * 0.95)])
         return s
 
 

@@ -1,0 +1,338 @@
+"""Continuous batching: per-row start windows in the fused decode kernel and
+the rolling-admission serving loop built on them.
+
+The reference has no serving at all (its decode is a notebook loop,
+/root/reference/src/models.py:389-469); continuous batching is this
+framework's production-serving capability add: a freed batch row admits a
+queued request mid-flight by writing its prefix into the row's past cache
+slots [idx-p, idx) and masking attention to [start_r, idx), so every row
+still appends at the same cache position.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpt2_image_captioning_tpu.core.precision import F32
+from gpt2_image_captioning_tpu.models import gpt2
+from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+
+def _cfg():
+    return gpt2.GPT2Config(
+        vocab_size=293, n_positions=128, n_embd=32, n_layer=2, n_head=2
+    )
+
+
+def test_fused_step_start_matches_independent_rows():
+    """Rows with different admission ages (start offsets) produce exactly the
+    tokens each row would produce decoded alone with its own prefix."""
+    cfg = _cfg()
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    p_lens = [3, 5, 7]
+    idx0 = 15  # all rows append here; oldest row's window begins at 8 → the
+    # chunk walk's c0 skips chunk 0 entirely (ct=8), exercising the skip path
+    tpad = 32
+    steps = 3
+
+    # standalone decodes, one row each
+    prefixes = [
+        jnp.asarray(rng.normal(size=(1, p, cfg.n_embd)).astype(np.float32))
+        for p in p_lens
+    ]
+    solo_tokens = []
+    solo_caches = []
+    for p, prefix in zip(p_lens, prefixes):
+        cache = gpt2.init_cache(cfg, 1, tpad)
+        logits, cache = gpt2.forward_cached(
+            params, cfg, prefix, cache, fresh_prefill=True
+        )
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        toks = [int(tok[0])]
+        for _ in range(steps):
+            iidx = cache["index"]
+            x0 = gpt2.embed_tokens(params, tok[:, None])[:, 0] + params["wpe"][iidx]
+            tok, kc, vc = DS.fused_decode_step(
+                packed, x0.astype(jnp.float32), cache["k"], cache["v"], iidx,
+                n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+            )
+            cache = {"k": kc, "v": vc, "index": iidx + 1}
+            toks.append(int(tok[0]))
+        solo_tokens.append(toks)
+        solo_caches.append(cache)
+
+    # combined batch: each row's prefill K/V shifted to [idx0 - p, idx0)
+    b = len(p_lens)
+    k = jnp.zeros((cfg.n_layer, tpad, b, cfg.n_embd), jnp.float32)
+    v = jnp.zeros_like(k)
+    start = jnp.asarray([idx0 - p for p in p_lens], jnp.int32)
+    first_toks = []
+    for r, (p, prefix) in enumerate(zip(p_lens, prefixes)):
+        cache = gpt2.init_cache(cfg, 1, tpad)
+        logits, cache = gpt2.forward_cached(
+            params, cfg, prefix, cache, fresh_prefill=True
+        )
+        first_toks.append(int(jnp.argmax(logits, axis=-1)[0]))
+        k = k.at[:, idx0 - p : idx0, r, :].set(cache["k"][:, :p, 0, :])
+        v = v.at[:, idx0 - p : idx0, r, :].set(cache["v"][:, :p, 0, :])
+
+    assert [t[0] for t in solo_tokens] == first_toks
+    tok = jnp.asarray(first_toks, jnp.int32)
+    idx = jnp.asarray(idx0, jnp.int32)
+    for step in range(steps):
+        local = idx - start  # per-row local position for wpe
+        x0 = (
+            gpt2.embed_tokens(params, tok[:, None])[:, 0]
+            + params["wpe"][local]
+        )
+        tok, k, v = DS.fused_decode_step(
+            packed, x0.astype(jnp.float32), k, v, idx,
+            n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+            start=start,
+        )
+        idx = idx + 1
+        for r in range(b):
+            assert int(tok[r]) == solo_tokens[r][step + 1], (r, step)
+
+    # written cache rows equal the standalone rows (shifted)
+    for r, p in enumerate(p_lens):
+        solo = solo_caches[r]
+        np.testing.assert_allclose(
+            np.asarray(k[:, idx0 : idx0 + steps, r, :]),
+            np.asarray(solo["k"][:, p : p + steps, 0, :]),
+            atol=1e-6, rtol=1e-6,
+        )
+
+
+def _tiny_model():
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    gcfg = _cfg()
+    mcfg = M.MLPMappingConfig(prefix_length=4, embed_dim=16, gpt_dim=32)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=292)
+    trainable, frozen = C.init_params(jax.random.PRNGKey(5), ccfg)
+    return ccfg, trainable, frozen
+
+
+def test_segment_admission_matches_one_shot_generate():
+    """Requests admitted into a live batch at different times produce exactly
+    the captions one-shot generate() yields for the same embeddings."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+
+    ccfg, trainable, frozen = _tiny_model()
+    gp = C._gpt(trainable, frozen)
+    p = ccfg.mapping.prefix_length
+    s_slots, t_max, seg, max_new = 4, 64, 4, 10
+    rng = np.random.default_rng(11)
+    embs = jnp.asarray(rng.normal(size=(6, 16)).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        want = C.generate(
+            trainable, frozen, ccfg, embs, max_length=max_new,
+            temperature=0.0, use_pallas_decode=True,
+        )
+
+        packed = C.prepare_decode_weights(trainable, frozen, ccfg, policy=F32)
+        k = jnp.zeros((ccfg.gpt2.n_layer, t_max, s_slots, ccfg.gpt2.n_embd), jnp.float32)
+        v = jnp.zeros_like(k)
+        idx = jnp.asarray(p, jnp.int32)
+        start = jnp.full((s_slots,), p, jnp.int32)
+        prev = jnp.zeros((s_slots,), jnp.int32)
+        finished = jnp.ones((s_slots,), bool)  # all slots empty
+
+        emitted = {}  # req -> [tokens]
+        slot_req = [-1] * s_slots
+        queue = list(range(6))
+
+        def admit(rows_live):
+            nonlocal k, v, idx, start, prev, finished
+            n = len(rows_live)
+            reqs = [queue.pop(0) for _ in range(min(n, len(queue)))]
+            if not reqs:
+                return
+            rows = rows_live[: len(reqs)]
+            pad = n - len(reqs)
+            rows_a = jnp.asarray(rows + [rows[0]] * pad, jnp.int32)
+            valid = jnp.asarray([True] * len(reqs) + [False] * pad)
+            emb_a = embs[jnp.asarray(reqs + [reqs[0]] * pad)]
+            first, k, v = C.admit_prefill(
+                trainable, frozen, ccfg, emb_a, k, v, idx, rows_a, valid,
+                policy=F32,
+            )
+            first = np.asarray(first)
+            sa = np.array(start)
+            fa = np.array(finished)
+            pa = np.array(prev)
+            for i, (req, row) in enumerate(zip(reqs, rows)):
+                slot_req[row] = req
+                emitted[req] = [int(first[i])]
+                sa[row] = int(idx) - p
+                fa[row] = emitted[req][-1] == ccfg.eos_token_id
+                pa[row] = int(first[i])
+            start, finished, prev = (
+                jnp.asarray(sa), jnp.asarray(fa), jnp.asarray(pa)
+            )
+
+        # staggered admission: 2 slots now, the rest as slots free up
+        admit([0, 1])
+        guard = 0
+        while (queue or any(r >= 0 for r in slot_req)) and guard < 60:
+            guard += 1
+            toks, k, v, idx, prev, finished = C.decode_segment(
+                packed, gp["wte"], gp["wpe"], k, v, idx, start, prev, finished,
+                cfg=ccfg, steps=seg, policy=F32,
+            )
+            toks = np.asarray(toks)
+            fa = np.array(finished)
+            freed = []
+            for row in range(s_slots):
+                req = slot_req[row]
+                if req < 0:
+                    continue
+                for t in range(seg):
+                    if len(emitted[req]) >= max_new:
+                        break
+                    tok = int(toks[row, t])
+                    emitted[req].append(tok)
+                    if tok == ccfg.eos_token_id:
+                        break
+                if (
+                    len(emitted[req]) >= max_new
+                    or emitted[req][-1] == ccfg.eos_token_id
+                ):
+                    slot_req[row] = -1
+                    freed.append(row)
+            if freed and queue and int(idx) + max_new + seg < t_max:
+                admit(freed)
+            # host-side finished merge (max_new cutoffs)
+            fa2 = fa.copy()
+            for row in range(s_slots):
+                if slot_req[row] < 0:
+                    fa2[row] = True
+            finished = jnp.asarray(fa2)
+        assert guard < 60, "continuous loop did not drain"
+
+    want_np = np.asarray(want)
+    for req in range(6):
+        got = emitted[req]
+        # one-shot generate pads with EOS after finish; compare the prefix
+        ref = list(want_np[req][: len(got)])
+        assert got == [int(x) for x in ref], (req, got, ref)
+
+
+def test_continuous_service_matches_one_shot(tmp_path):
+    """ContinuousCaptionService == one-shot generate_captions for every
+    request, across staggered admission, cache compaction (tiny t_max) and
+    pool reuse after a full drain."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.core.precision import F32
+    from gpt2_image_captioning_tpu.embeddings.preprocess import (
+        normalize_on_device, resize_and_crop,
+    )
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import clip as CL
+    from gpt2_image_captioning_tpu.models import mapping as M
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    vcfg = CL.CLIPVisionConfig.tiny()
+    vparams = CL.init_vision(jax.random.PRNGKey(0), vcfg)
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    mcfg = M.MLPMappingConfig(
+        prefix_length=2, embed_dim=vcfg.projection_dim, gpt_dim=32
+    )
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+
+    svc = ContinuousCaptionService(
+        model, vparams, vcfg, encoder="clip", slots=3, segment=3,
+        max_length=6,
+    )
+    # minimal capacity: p=2 + max_length=6 + segment=3 → t_max=16; staggered
+    # admission pushes idx past 13 and forces at least one compaction
+    assert svc.t_max == 16
+
+    rng = np.random.default_rng(7)
+    imgs = [
+        rng.integers(0, 255, size=(40 + 5 * i, 50 - 2 * i, 3)).astype(np.uint8)
+        for i in range(10)
+    ]
+
+    # ground truth: one-shot greedy over the same preprocessed embeddings
+    u8 = np.stack([resize_and_crop(im, svc.spec) for im in imgs])
+
+    @jax.jit
+    def enc(vp, batch):
+        px = normalize_on_device(batch, svc.spec)
+        return CL.encode_image(vp, vcfg, px, policy=F32, normalize=True)
+
+    emb = enc(vparams, jnp.asarray(u8))
+    want = model.generate_captions(emb, max_length=6, temperature=0.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = svc.caption_arrays(imgs)
+        assert got == want
+        assert svc.stats["images"] == 10
+        assert svc.stats["segments"] > 3  # staggered, not one big batch
+        # pool is fully drained and reusable (idle rebase path)
+        assert svc.step() == {}
+        got2 = svc.caption_arrays(imgs[:2])
+        assert got2 == want[:2]
+
+        # embedding intake (no vision tower) + per-request max_length caps,
+        # mixed with an image submission in the same admission bucket
+        ids = np.asarray(model.generate(emb, max_length=6, temperature=0.0))
+        caps_len = [3, 1, 6]
+        rids = [
+            svc.submit_embedding(np.asarray(emb[i]), max_length=caps_len[i])
+            for i in range(3)
+        ]
+        rid_img = svc.submit_array(imgs[4])
+        svc.drain()
+        for i, rid in enumerate(rids):
+            want_i = tok.batch_decode(
+                ids[i : i + 1, : caps_len[i]], skip_special_tokens=True
+            )[0]
+            assert svc.pop_result(rid) == want_i, (i, caps_len[i])
+        assert svc.pop_result(rid_img) == want[4]
+
+
+def test_fused_step_start_zeros_is_default():
+    """start=zeros is bit-identical to omitting start."""
+    cfg = _cfg()
+    params = gpt2.init(jax.random.PRNGKey(2), cfg)
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    b, p_len = 4, 6
+    prefix = jnp.asarray(rng.normal(size=(b, p_len, cfg.n_embd)).astype(np.float32))
+    cache = gpt2.init_cache(cfg, b, p_len + 4)
+    logits, cache = gpt2.forward_cached(params, cfg, prefix, cache, fresh_prefill=True)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    idx = cache["index"]
+    x0 = gpt2.embed_tokens(params, tok[:, None])[:, 0] + params["wpe"][idx]
+
+    a, ka, va = DS.fused_decode_step(
+        packed, x0.astype(jnp.float32), cache["k"], cache["v"], idx,
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+    )
+    z, kz, vz = DS.fused_decode_step(
+        packed, x0.astype(jnp.float32), cache["k"], cache["v"], idx,
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        start=jnp.zeros((b,), jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(z))
+    np.testing.assert_array_equal(np.asarray(ka), np.asarray(kz))
