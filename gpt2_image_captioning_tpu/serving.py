@@ -244,30 +244,32 @@ class ContinuousCaptionService:
     device batch waits for the slowest caption before the next batch starts,
     so short captions pay the longest caption's latency and freed rows idle.
     This service keeps a fixed pool of ``slots`` decode rows live *across*
-    requests: the fused decode kernel runs ``segment``-step bursts over the
-    whole pool, and whenever a row's caption finishes (EOS or
-    ``max_length``) the next queued request is prefilled straight into the
-    freed row — mid-flight — while every other row keeps decoding.
+    requests: whenever a row's caption finishes (EOS or its length cap) the
+    next queued request is prefilled straight into the freed row —
+    mid-flight — while every other row keeps decoding.
 
-    Device mechanics (``models/captioner.py``): all rows append at one
-    uniform cache position ``idx``; an admitted request's prefix is written
-    into its row's *past* positions ``[idx-P, idx)`` (``admit_prefill``) and
-    the fused kernel masks each row's attention to its own window
-    ``[start_r, idx)`` (the ``start`` operand of
-    ``ops/decode_step.fused_decode_step``).  When ``idx`` nears the cache
-    capacity the whole cache rolls down by ``min(start)``
-    (``compact_cache``), which preserves every live window verbatim.
+    The serving loop itself runs ON DEVICE (``models/continuous.py``): one
+    jitted **macro-step** executes ``bursts`` × (admission from a staged
+    request block + ``segment`` fused decode steps) per dispatch, and the
+    host fetches a single packed int32 matrix of tokens/uids per macro.
+    With one macro kept in flight, the fetch overlaps the next macro's
+    device time — the host-driven variant of this loop (one round trip per
+    burst) measured 6× slower than fixed batches purely on tunnel latency
+    (scripts/continuous_ab.py).  Host-side primitives with the same
+    semantics (``captioner.decode_segment`` / ``admit_prefill``) remain the
+    unit-testable reference implementation.
 
-    Token-for-token identical to one-shot greedy :func:`generate` for every
-    request (``tests/test_continuous.py``).  Greedy only — the in-kernel
-    argmax is what makes segment bursts host-free; sampled serving stays on
-    ``CaptionService``.  The reference has no serving surface at all (its
-    decode is a notebook loop, ``/root/reference/src/models.py:389-469``);
-    continuous batching is this framework's production capability add.
+    Token-for-token identical to one-shot greedy :func:`captioner.generate`
+    for every request (``tests/test_continuous.py``).  Greedy only — the
+    in-kernel argmax is what keeps the loop host-free; sampled serving
+    stays on ``CaptionService``.  The reference has no serving surface at
+    all (its decode is a notebook loop,
+    ``/root/reference/src/models.py:389-469``); continuous batching is this
+    framework's production capability add.
 
-    Compiled-program inventory (all fixed-shape): one ``decode_segment``,
-    one ``compact_cache``, and one encode + one ``admit_prefill`` per
-    admission bucket (buckets default to powers of two up to ``slots``).
+    Compiled-program inventory (all fixed-shape): ONE macro-step program,
+    plus one vision-encode program per admission-block bucket (powers of
+    two up to the staging block, only for image submissions).
     """
 
     def __init__(
@@ -279,18 +281,19 @@ class ContinuousCaptionService:
         encoder: str = "clip",
         encode_fn=None,
         slots: int = 64,
-        segment: int = 8,
+        segment: int = 4,
+        bursts: int = 8,
+        admit: int | None = None,
         max_length: int = 50,
         t_max: int | None = None,
         decode_precision: str | None = None,
-        admit_buckets: Sequence[int] | None = None,
-        min_admit: int = 1,
         spec=None,
     ):
         from gpt2_image_captioning_tpu.models import captioner as C
+        from gpt2_image_captioning_tpu.models import continuous as CE
 
         self.model = model
-        self._C = C
+        self._C, self._CE = C, CE
         quant = decode_precision == "int8"
         tr, fz, pol = model.decode_params("bf16" if quant else decode_precision)
         self._tr, self._fz, self._pol = tr, fz, pol
@@ -302,55 +305,54 @@ class ContinuousCaptionService:
         self._vparams = vision_params
         self.slots = slots
         self.segment = segment
+        self.bursts = bursts
+        self.admit = min(admit if admit is not None else 32, slots)
         self.max_length = max_length
-        self.min_admit = min_admit
         self._packed = C.prepare_decode_weights(
             tr, fz, cfg, pol, quant=quant, tw=384 if slots % 256 == 0 else None
         )
-        gp = C._gpt(tr, fz)
-        self._wte, self._wpe = gp["wte"], gp["wpe"]
 
         # total prefix length (mapping output ⧺ optional task prefix)
         emb_dim = cfg.mapping.embed_dim
+        self._emb_dim = emb_dim
         self._p = jax.eval_shape(
             lambda e: C.build_prefix(tr, cfg, e, pol),
             jax.ShapeDtypeStruct((1, emb_dim), jnp.float32),
         ).shape[1]
         p = self._p
-        # capacity: the longest live window is P + max_length; one segment of
-        # headroom lets compaction run *before* a burst, rounded up to the
-        # kernel's CHUNK_T granularity (cache T must divide into DMA chunks)
-        need = p + max_length + segment
+        # engine capacity contract: compaction at macro entry rebases idx to
+        # the longest live window (<= P + max_length - 1), then idx grows by
+        # bursts*segment; round up to the kernel's CHUNK_T granularity
+        need = p + max_length + bursts * segment
         t_max = max(t_max or 0, need)
         self.t_max = -(-t_max // 8) * 8
-        if admit_buckets is None:
-            admit_buckets = []
-            b = 1
-            while b < slots:
-                admit_buckets.append(b)
-                b *= 2
-            admit_buckets.append(slots)
-        self._buckets = sorted(set(admit_buckets))
+        # staging block: everything one macro could possibly admit
+        self.q_cap = max(slots, min(bursts * self.admit, 4 * slots))
+        self._buckets = []
+        b = 1
+        while b < self.q_cap:
+            self._buckets.append(b)
+            b *= 2
+        self._buckets.append(self.q_cap)
 
-        # device state
-        shape = (cfg.gpt2.n_layer, self.t_max, slots, cfg.gpt2.n_embd)
-        self._k = jnp.zeros(shape, pol.compute_dtype)
-        self._v = jnp.zeros(shape, pol.compute_dtype)
-        self._idx = p
-        # host-mirrored per-row state (tiny (slots,) vectors, re-uploaded per
-        # burst — admission and harvest mutate them between device calls)
-        self._start = np.full((slots,), p, np.int32)
-        self._prev = np.zeros((slots,), np.int32)
-        self._finished = np.ones((slots,), bool)  # all rows empty
-        self._slot_req = [-1] * slots
-        self._emitted: dict[int, list[int]] = {}
+        self._state = CE.init_state(cfg, slots, self.t_max, p, pol)
+        # host bookkeeping: queue of submitted-but-unstaged requests, the
+        # one in-flight macro, and per-request token streams
         self._queue: list[tuple[int, np.ndarray, bool]] = []
-        self._req_max: dict[int, int] = {}  # per-request caps (optional)
+        self._inflight: tuple | None = None
+        self._live: set[int] = set()
+        self._emitted: dict[int, list[int]] = {}
+        self._req_max: dict[int, int] = {}
         self._submit_t: dict[int, float] = {}
-        self._latencies: list[float] = []  # submit → caption seconds
+        self._latencies: list[float] = []
         self._results: dict[int, str] = {}
         self._next_id = 0
-        self._stats = {"images": 0, "segments": 0, "device_s": 0.0}
+        self._stats = {
+            "images": 0, "macros": 0, "device_s": 0.0,
+            # phase breakdown (seconds): staging+dispatch, packed-output
+            # readback sync, host bookkeeping
+            "dispatch_s": 0.0, "sync_s": 0.0, "host_s": 0.0,
+        }
 
     # -- request intake ------------------------------------------------------
     def _enqueue(self, payload, is_emb: bool, max_length: int | None) -> int:
@@ -391,163 +393,142 @@ class ContinuousCaptionService:
 
     @property
     def live(self) -> int:
-        return sum(r >= 0 for r in self._slot_req)
+        """Requests admitted to the device pool and not yet completed (by
+        the host's knowledge — an in-flight macro may have finished some)."""
+        return len(self._live)
 
     @property
     def queued(self) -> int:
         return len(self._queue)
 
     # -- serving loop --------------------------------------------------------
-    def _finalize(self, row: int) -> None:
-        req = self._slot_req[row]
-        toks = self._emitted.pop(req)
-        self._req_max.pop(req, None)
-        t_sub = self._submit_t.pop(req, None)
+    def _complete(self, rid: int) -> None:
+        toks = self._emitted.pop(rid)
+        self._req_max.pop(rid, None)
+        self._live.discard(rid)
+        t_sub = self._submit_t.pop(rid, None)
         if t_sub is not None:
             self._latencies.append(time.perf_counter() - t_sub)
         if toks and toks[-1] == self.cfg.eos_token_id:
             toks = toks[:-1]
-        self._results[req] = self.model.tokenizer.batch_decode(
+        self._results[rid] = self.model.tokenizer.batch_decode(
             np.asarray([toks], np.int32) if toks else np.zeros((1, 0), np.int32),
             skip_special_tokens=True,
         )[0]
-        self._slot_req[row] = -1
         self._stats["images"] += 1
 
-    def _admit(self) -> None:
-        free = [r for r in range(self.slots) if self._slot_req[r] < 0]
-        n = min(len(free), len(self._queue))
-        if n == 0:
-            return
-        # small admissions are prefill-latency-bound: optionally hold freed
-        # rows until min_admit of them can prefill in one bucket (never
-        # deadlocks: with no live rows, or a short tail queue, admit anyway)
-        if (
-            n < self.min_admit
-            and self.live > 0
-            and len(self._queue) > n
-        ):
-            return
-        n = min(n, self._buckets[-1])
-        bucket = next(b for b in self._buckets if b >= n)
-        batch = self._queue[:n]
-        del self._queue[:n]
-        rows = free[:n]
-        pad = bucket - n
-        if any(not is_emb for _, _, is_emb in batch):
-            # encode the image entries at the bucket shape; embedding entries
-            # ride as placeholder pixels and are overwritten below
-            filler = next(a for _, a, e in batch if not e)
+    def _dispatch(self) -> None:
+        """Stage a request block and enqueue one macro-step on device."""
+        td = time.perf_counter()
+        entries = self._queue[: self.q_cap]
+        del self._queue[: len(entries)]
+        n = len(entries)
+        emb_host = np.zeros((self.q_cap, self._emb_dim), np.float32)
+        img_rows = [i for i, (_, _, e) in enumerate(entries) if not e]
+        for i, (_, payload, is_emb) in enumerate(entries):
+            if is_emb:
+                emb_host[i] = payload
+        emb_dev = jnp.asarray(emb_host)
+        if img_rows:
+            m = len(img_rows)
+            bucket = next(b for b in self._buckets if b >= m)
+            filler = entries[img_rows[0]][1]
             u8 = np.stack(
-                [a if not e else filler for _, a, e in batch] + [filler] * pad
+                [entries[i][1] for i in img_rows] + [filler] * (bucket - m)
             )
-            emb = self._encode(self._vparams, jnp.asarray(u8))
-            emb_rows = [i for i, (_, _, e) in enumerate(batch) if e]
-            if emb_rows:
-                emb = emb.at[jnp.asarray(emb_rows)].set(
-                    jnp.asarray(np.stack([batch[i][1] for i in emb_rows]))
-                )
-        else:  # pure-embedding admission skips the vision tower entirely
-            e0 = batch[0][1]
-            emb = jnp.asarray(
-                np.stack([a for _, a, _ in batch] + [e0] * pad)
-            )
-        rows_a = jnp.asarray(rows + [rows[0]] * pad, jnp.int32)
-        valid = jnp.asarray([True] * n + [False] * pad)
-        first, self._k, self._v = self._C.admit_prefill(
-            self._tr, self._fz, self.cfg, emb,
-            self._k, self._v, jnp.asarray(self._idx, jnp.int32), rows_a, valid,
-            policy=self._pol,
+            enc = self._encode(self._vparams, jnp.asarray(u8))
+            # pad the scatter rows to the bucket shape (out of bounds →
+            # dropped) so each bucket compiles exactly once
+            rows_pad = np.full((bucket,), self.q_cap, np.int64)
+            rows_pad[:m] = img_rows
+            emb_dev = emb_dev.at[jnp.asarray(rows_pad)].set(enc, mode="drop")
+        caps = np.full((self.q_cap,), self.max_length, np.int32)
+        uids = np.full((self.q_cap,), -1, np.int32)
+        for i, (rid, _, _) in enumerate(entries):
+            caps[i] = self._req_max.get(rid, self.max_length)
+            uids[i] = rid
+        self._state, out = self._CE.macro_step(
+            self._packed, self._tr, self._fz, self._state,
+            emb_dev, jnp.asarray(caps), jnp.asarray(uids),
+            jnp.asarray(n, jnp.int32),
+            cfg=self.cfg, policy=self._pol, seg=self.segment,
+            bursts=self.bursts, admit=self.admit,
         )
-        first = np.asarray(first)
+        self._inflight = (out, entries)
+        self._stats["macros"] += 1
+        self._stats["dispatch_s"] += time.perf_counter() - td
+
+    def _harvest(self) -> None:
+        """Fetch and apply the pending macro's packed output."""
+        if self._inflight is None:
+            return
+        out_dev, entries = self._inflight
+        self._inflight = None
+        ts = time.perf_counter()
+        out = np.asarray(out_dev)  # ONE device→host fetch per macro
+        th = time.perf_counter()
+        self._stats["sync_s"] += th - ts
         eos = self.cfg.eos_token_id
-        for i, ((rid, _, _), row) in enumerate(zip(batch, rows)):
-            self._slot_req[row] = rid
-            self._emitted[rid] = [int(first[i])]
-            self._start[row] = self._idx - self._p
-            self._prev[row] = int(first[i])
-            cap = self._req_max.get(rid, self.max_length)
-            done = int(first[i]) == eos or cap <= 1
-            self._finished[row] = done
-            if done:
-                self._finalize(row)
+        consumed = 0
+        for t in range(self.segment * self.bursts):
+            # a step's admissions land before its decode token
+            adm_first = out[t, 2]
+            adm_uid = out[t, 3]
+            for a in range(self.admit):
+                u = int(adm_uid[a])
+                if u < 0:
+                    break
+                consumed += 1
+                first = int(adm_first[a])
+                self._emitted[u] = [first]
+                self._live.add(u)
+                if first == eos or self._req_max.get(u, self.max_length) <= 1:
+                    self._complete(u)
+            row_uid = out[t, 1]
+            for r in range(self.slots):
+                u = int(row_uid[r])
+                if u < 0 or u not in self._live:
+                    continue
+                toks = self._emitted[u]
+                cap = self._req_max.get(u, self.max_length)
+                if len(toks) >= cap:
+                    self._complete(u)
+                    continue
+                tok = int(out[t, 0, r])
+                toks.append(tok)
+                if len(toks) >= cap or tok == eos:
+                    self._complete(u)
+        # entries the macro did not reach go back to the queue front
+        if consumed < len(entries):
+            self._queue[:0] = entries[consumed:]
+        self._stats["host_s"] += time.perf_counter() - th
 
     def step(self) -> dict[int, str]:
-        """One admission + ``segment``-step decode burst.
+        """Dispatch the next macro (if there is work), then harvest the
+        previous one — the packed-output fetch overlaps the new macro's
+        device execution (depth-1 pipeline).
 
         Returns the requests completed during this call ({id: caption});
-        they are also retained in :meth:`results` until popped."""
+        they are also retained until popped via :meth:`pop_result`."""
         t0 = time.perf_counter()
         before = set(self._results)
-        if self.live == 0:
-            # idle pool: rebase the append position (no cache content is live)
-            self._idx = self._p
-            self._start[:] = self._p
-        self._admit()
-        if self.live == 0:
-            # nothing to decode — idle queue, or every admitted request
-            # finished at its first token
-            self._stats["device_s"] += time.perf_counter() - t0
-            return {r: c for r, c in self._results.items() if r not in before}
-        # compaction: keep idx + segment within capacity
-        if self._idx + self.segment > self.t_max:
-            live_rows = [r for r in range(self.slots) if self._slot_req[r] >= 0]
-            shift = int(min(self._start[r] for r in live_rows))
-            if shift > 0:
-                self._k, self._v = self._C.compact_cache(
-                    self._k, self._v, jnp.asarray(shift, jnp.int32)
-                )
-                self._idx -= shift
-                self._start[live_rows] = self._start[live_rows] - shift
-            assert self._idx + self.segment <= self.t_max, (
-                self._idx, self.segment, self.t_max
-            )
-        # dead rows: empty window at the current append position
-        for r in range(self.slots):
-            if self._slot_req[r] < 0:
-                self._start[r] = self._idx
-                self._finished[r] = True
-        toks, self._k, self._v, idx_d, prev_d, fin_d = self._C.decode_segment(
-            self._packed, self._wte, self._wpe, self._k, self._v,
-            jnp.asarray(self._idx, jnp.int32),
-            jnp.asarray(self._start), jnp.asarray(self._prev),
-            jnp.asarray(self._finished),
-            cfg=self.cfg, steps=self.segment, policy=self._pol,
-        )
-        toks = np.asarray(toks)  # device sync (axon: np.asarray, not block_until_ready)
-        self._idx += self.segment
-        self._prev = np.array(prev_d)  # writable copies — admission mutates
-        self._finished = np.array(fin_d)
-        self._stats["segments"] += 1
-        eos = self.cfg.eos_token_id
-        for row in range(self.slots):
-            req = self._slot_req[row]
-            if req < 0:
-                continue
-            out = self._emitted[req]
-            cap = self._req_max.get(req, self.max_length)
-            for t in range(self.segment):
-                if len(out) >= cap:
-                    break
-                tok = int(toks[row, t])
-                out.append(tok)
-                if tok == eos:
-                    break
-            if len(out) >= cap or out[-1] == eos:
-                self._finalize(row)
+        if self._queue or self._live:
+            self._dispatch()
+        self._harvest()
         self._stats["device_s"] += time.perf_counter() - t0
         return {r: c for r, c in self._results.items() if r not in before}
 
     def drain(self) -> dict[int, str]:
-        """Run until the queue and every live row are exhausted."""
+        """Run until the queue, the in-flight macro and every live request
+        are exhausted."""
+        per_macro = self.slots * self.segment * self.bursts
+        total = (self.queued + self.live + 1) * self.max_length
+        limit = 8 + 6 * (total // max(1, per_macro) + 1)
         guard = 0
-        limit = 4 * (self.queued + self.live + 1) * (
-            1 + self.max_length // max(1, self.segment)
-        ) + 8
-        while (self._queue or self.live) and guard < limit:
+        while (self._queue or self._live or self._inflight) and guard < limit:
             guard += 1
             self.step()
-        if self._queue or self.live:
+        if self._queue or self._live or self._inflight:
             raise RuntimeError("continuous serving loop failed to drain")
         return dict(self._results)
 

@@ -66,16 +66,22 @@ def main() -> None:
     log("init done")
 
     rng = np.random.default_rng(0)
-    lengths = np.clip(rng.normal(12, 4, size=N_REQ).round(), 5, 30).astype(int)
     embs = rng.normal(size=(N_REQ, 512)).astype(np.float32)
-    mean_len = float(lengths.mean())
-    log(f"workload: {N_REQ} requests, mean len {mean_len:.1f}, "
-        f"p95 {np.percentile(lengths, 95):.0f}, max {lengths.max()}")
+    # two caption-length workloads: COCO-like short captions (mean ~12) and
+    # a long-form one (mean ~30, cap 50) where fixed batches waste more
+    workloads = {
+        "short": np.clip(rng.normal(12, 4, size=N_REQ).round(), 5, 30).astype(int),
+        "long": np.clip(rng.normal(30, 10, size=N_REQ).round(), 5, 50).astype(int),
+    }
+    for name, lengths in workloads.items():
+        log(f"workload {name}: mean len {lengths.mean():.1f}, "
+            f"p95 {np.percentile(lengths, 95):.0f}, max {lengths.max()}")
 
     # --- fixed-batch comparator: t(L) linear fit over two measured maxes ---
     tr, fz, pol = model.decode_params("bf16")
     packed = C.prepare_decode_weights(tr, fz, ccfg, pol)
     emb_b = jnp.asarray(embs[:SLOTS])
+    skip_fixed = os.environ.get("CONT_AB_SKIP_FIXED") == "1"
 
     def fixed(ml):
         return C.generate(
@@ -83,8 +89,8 @@ def main() -> None:
             policy=pol, packed=packed,
         )
 
-    t_of = {}
-    for ml in (15, 30):
+    t_of = {15: 0.033, 50: 0.0478}  # last measured; overwritten unless skipped
+    for ml in () if skip_fixed else (15, 50):
         log(f"compiling fixed decode max_length={ml}...")
         np.asarray(fixed(ml))
         np.asarray(fixed(ml))
@@ -95,48 +101,58 @@ def main() -> None:
             np.asarray(o)
         t_of[ml] = (time.perf_counter() - t0) / reps
         log(f"fixed t({ml}) = {t_of[ml]*1000:.2f} ms")
-    b_coef = (t_of[30] - t_of[15]) / 15
+    b_coef = (t_of[50] - t_of[15]) / 35
     a_coef = t_of[15] - b_coef * 15
-    groups = [lengths[i : i + SLOTS] for i in range(0, N_REQ, SLOTS)]
-    t_fixed = sum(a_coef + b_coef * int(g.max()) for g in groups)
-    fixed_req_s = N_REQ / t_fixed
-    log(f"fixed-batch model: {t_fixed*1000:.1f} ms total -> "
-        f"{fixed_req_s:.0f} req/s (group maxes {[int(g.max()) for g in groups]})")
 
-    # --- continuous serving, segment × min_admit sweep ----------------------
-    results = {}
-    for segment in (4, 8, 16):
-        for min_admit in (1, 16, 32):
-            def run():
-                svc = ContinuousCaptionService(
-                    model, None, None, slots=SLOTS, segment=segment,
-                    max_length=SERVICE_MAX, decode_precision="bf16",
-                    min_admit=min_admit,
-                )
-                for i in range(N_REQ):
-                    svc.submit_embedding(embs[i], max_length=int(lengths[i]))
-                t0 = time.perf_counter()
-                svc.drain()
-                dt = time.perf_counter() - t0
-                return dt, svc.stats
+    def fixed_req_s_for(lengths):
+        groups = [lengths[i : i + SLOTS] for i in range(0, N_REQ, SLOTS)]
+        t_fixed = sum(a_coef + b_coef * int(g.max()) for g in groups)
+        return N_REQ / t_fixed
 
-            log(f"segment={segment} min_admit={min_admit}: warmup drain...")
-            run()
-            dt, stats = run()
-            req_s = N_REQ / dt
-            results[(segment, min_admit)] = req_s
-            log(
-                f"segment={segment} min_admit={min_admit}: {dt*1000:.1f} ms, "
-                f"{req_s:.0f} req/s, {stats['segments']} bursts, "
-                f"speedup vs fixed {req_s/fixed_req_s:.2f}x"
+    # --- continuous serving (on-device macro engine) ------------------------
+    def run_continuous(lengths, segment, bursts, admit):
+        def run():
+            svc = ContinuousCaptionService(
+                model, None, None, slots=SLOTS, segment=segment,
+                bursts=bursts, admit=admit, max_length=SERVICE_MAX,
+                decode_precision="bf16",
             )
+            for i in range(N_REQ):
+                svc.submit_embedding(embs[i], max_length=int(lengths[i]))
+            t0 = time.perf_counter()
+            svc.drain()
+            return time.perf_counter() - t0, svc.stats
 
-    best = max(results, key=results.get)
-    log(
-        f"RESULT: continuous best (segment, min_admit)={best} "
-        f"{results[best]:.0f} req/s vs fixed {fixed_req_s:.0f} req/s "
-        f"({results[best]/fixed_req_s:.2f}x); mean_len {mean_len:.1f}"
-    )
+        run()  # warmup (compiles)
+        return run()
+
+    for name, lengths in workloads.items():
+        fixed_rs = fixed_req_s_for(lengths)
+        log(f"== workload {name}: fixed-batch model {fixed_rs:.0f} req/s ==")
+        results = {}
+        for segment, bursts, admit in (
+            (2, 16, 32), (4, 8, 32), (4, 8, 64), (4, 8, 128), (8, 8, 64),
+        ):
+            log(f"{name} seg={segment} bursts={bursts} admit={admit}: warmup...")
+            dt, stats = run_continuous(lengths, segment, bursts, admit)
+            req_s = N_REQ / dt
+            results[(segment, bursts, admit)] = req_s
+            log(
+                f"{name} seg={segment} bursts={bursts} admit={admit}: "
+                f"{dt*1000:.1f} ms, {req_s:.0f} req/s, "
+                f"{stats['macros']} macros, vs fixed {req_s/fixed_rs:.2f}x | "
+                f"dispatch {stats['dispatch_s']*1000:.0f} "
+                f"sync {stats['sync_s']*1000:.0f} "
+                f"host {stats['host_s']*1000:.0f} ms | "
+                f"p50 lat {stats.get('latency_p50_s', 0)*1000:.0f} ms "
+                f"p95 {stats.get('latency_p95_s', 0)*1000:.0f} ms"
+            )
+        best = max(results, key=results.get)
+        log(
+            f"RESULT {name}: best (seg, bursts, admit)={best} "
+            f"{results[best]:.0f} req/s vs fixed {fixed_rs:.0f} req/s "
+            f"({results[best]/fixed_rs:.2f}x); mean_len {lengths.mean():.1f}"
+        )
 
 
 if __name__ == "__main__":

@@ -259,11 +259,11 @@ def test_continuous_service_matches_one_shot(tmp_path):
     model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
 
     svc = ContinuousCaptionService(
-        model, vparams, vcfg, encoder="clip", slots=3, segment=3,
-        max_length=6,
+        model, vparams, vcfg, encoder="clip", slots=3, segment=2, bursts=2,
+        admit=2, max_length=6,
     )
-    # minimal capacity: p=2 + max_length=6 + segment=3 → t_max=16; staggered
-    # admission pushes idx past 13 and forces at least one compaction
+    # minimal capacity: p=2 + max_length=6 + bursts*segment=4 → t_max=16;
+    # idx grows 4/macro from 8 — every later macro entry runs compaction
     assert svc.t_max == 16
 
     rng = np.random.default_rng(7)
@@ -287,7 +287,7 @@ def test_continuous_service_matches_one_shot(tmp_path):
         got = svc.caption_arrays(imgs)
         assert got == want
         assert svc.stats["images"] == 10
-        assert svc.stats["segments"] > 3  # staggered, not one big batch
+        assert svc.stats["macros"] > 2  # staggered admission, not one batch
         # pool is fully drained and reusable (idle rebase path)
         assert svc.step() == {}
         got2 = svc.caption_arrays(imgs[:2])
