@@ -41,6 +41,7 @@ from gpt2_image_captioning_tpu.models.captioner import (
     build_prefix,
 )
 from gpt2_image_captioning_tpu.ops import decode_step as DS
+from gpt2_image_captioning_tpu.ops.sampling import sample_token
 
 
 def init_state(cfg: CaptionerConfig, slots: int, t_max: int, prefix_len: int,
@@ -59,12 +60,17 @@ def init_state(cfg: CaptionerConfig, slots: int, t_max: int, prefix_len: int,
         "gen": jnp.zeros((slots,), jnp.int32),
         "cap": jnp.zeros((slots,), jnp.int32),
         "uid": jnp.full((slots,), -1, jnp.int32),
+        # global decode-step counter: monotone across macros and compactions
+        # (unlike ``idx``), so sampled mode can fold it into the PRNG key
+        # without ever reusing noise
+        "t": jnp.zeros((), jnp.int32),
     }
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "policy", "seg", "bursts", "admit"),
+    static_argnames=("cfg", "policy", "seg", "bursts", "admit", "temperature",
+                     "top_p"),
     donate_argnums=(3,),
 )
 def macro_step(
@@ -76,12 +82,15 @@ def macro_step(
     cap_q: jnp.ndarray,   # (Q,) int32 per-request max tokens
     uid_q: jnp.ndarray,   # (Q,) int32 request uids
     n_q: jnp.ndarray,     # () int32 — valid staged count (<= Q)
+    rng: jax.Array | None = None,
     *,
     cfg: CaptionerConfig,
     policy: Policy,
     seg: int,
     bursts: int,
     admit: int,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
 ) -> tuple[dict, jnp.ndarray]:
     """``bursts*seg`` fused decode steps with admission every ``seg``-th
     step, compiled as ONE program (a single flat ``lax.scan``).
@@ -107,7 +116,17 @@ def macro_step(
     Capacity contract (held by the caller): ``t_max >= P + max(cap) +
     bursts*seg`` — compaction at macro entry rebases ``idx`` to the longest
     live window, and ``idx`` then grows by ``bursts*seg``.
+
+    ``temperature``/``top_p`` select sampled serving: the kernel emits full
+    logits (``emit_logits``) and the temperature/top-p/categorical selection
+    (:func:`ops.sampling.sample_token`, sort-free bisection nucleus mask)
+    runs on device inside the scan.  Noise is keyed by folding the global
+    step counter ``state["t"]`` (decode steps use ``2t``, the burst's
+    admission point ``2t+1``), so every draw across macros is fresh and a
+    fixed ``(rng, submission order)`` replays exactly.
     """
+    if temperature != 0.0 and rng is None:
+        raise ValueError("sampled macro_step (temperature != 0) needs rng")
     gpt_params = _gpt(trainable, frozen)
     wte, wpe = gpt_params["wte"], gpt_params["wpe"]
     eos = cfg.eos_token_id
@@ -139,6 +158,7 @@ def macro_step(
         k, v, idx, start, state["prev"], finished,
         state["gen"], state["cap"], state["uid"],
         jnp.zeros((), jnp.int32),  # qhead
+        state["t"],
     )
 
     # Scan over BURSTS with the ``seg`` decode steps python-unrolled inside,
@@ -155,7 +175,7 @@ def macro_step(
     # once per burst, so the window traffic (~0.1 ms) amortizes over ``seg``
     # steps.
     def burst_fn(carry, _):
-        k, v, idx, start, prev, finished, gen, cap, uid, qhead = carry
+        k, v, idx, start, prev, finished, gen, cap, uid, qhead, tstep = carry
 
         # -- admission (burst entry): free rows × staged requests ----------
         free = finished
@@ -180,7 +200,13 @@ def macro_step(
                 gpt_params, cfg.gpt2, prefix, cache_n, policy,
                 fresh_prefill=True,
             )
-            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if temperature == 0.0:
+                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                first = sample_token(
+                    logits, temperature=temperature, top_p=top_p,
+                    rng=jax.random.fold_in(rng, tstep * 2 + 1),
+                )
             k_rows = cache_n["k"][:, :p_len].astype(k.dtype)  # (L, P, A, D)
             v_rows = cache_n["v"][:, :p_len].astype(v.dtype)
             return first, k_rows, v_rows
@@ -241,12 +267,25 @@ def macro_step(
             x0 = (
                 jnp.take(wte, prev, axis=0) + jnp.take(wpe, local, axis=0)
             ).astype(cdt)
-            tok, k, v = DS.fused_decode_step(
-                packed, x0, k, v, idx,
-                n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
-                eps=cfg.gpt2.layer_norm_epsilon, start=start,
-            )
+            if temperature == 0.0:
+                tok, k, v = DS.fused_decode_step(
+                    packed, x0, k, v, idx,
+                    n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+                    eps=cfg.gpt2.layer_norm_epsilon, start=start,
+                )
+            else:
+                lg, k, v = DS.fused_decode_step(
+                    packed, x0, k, v, idx,
+                    n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+                    eps=cfg.gpt2.layer_norm_epsilon, start=start,
+                    emit_logits=True,
+                )
+                tok = sample_token(
+                    lg, temperature=temperature, top_p=top_p,
+                    rng=jax.random.fold_in(rng, tstep * 2),
+                )
             tok = jnp.where(live, tok, eos)
+            tstep = tstep + 1
             gen = gen + live
             finished = finished | (tok == eos) | (gen >= cap)
             prev = tok
@@ -257,15 +296,15 @@ def macro_step(
                  first_pad if j == 0 else neg,
                  admuid_pad if j == 0 else neg], axis=0))
 
-        carry = (k, v, idx, start, prev, finished, gen, cap, uid, qhead)
+        carry = (k, v, idx, start, prev, finished, gen, cap, uid, qhead, tstep)
         return carry, jnp.stack(outs, axis=0)  # (seg, 4, S)
 
-    (k, v, idx, start, prev, finished, gen, cap, uid, _), outs = jax.lax.scan(
+    (k, v, idx, start, prev, finished, gen, cap, uid, _, t), outs = jax.lax.scan(
         burst_fn, carry0, None, length=bursts
     )
     outs = outs.reshape(bursts * seg, 4, s)
     state = {
         "k": k, "v": v, "idx": idx, "start": start, "prev": prev,
-        "finished": finished, "gen": gen, "cap": cap, "uid": uid,
+        "finished": finished, "gen": gen, "cap": cap, "uid": uid, "t": t,
     }
     return state, outs

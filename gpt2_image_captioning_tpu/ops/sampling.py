@@ -79,8 +79,18 @@ def top_p_filter_bisect(logits: jnp.ndarray, top_p: float, iters: int = 32) -> j
         return jnp.where(keep_mid, lo, mid), jnp.where(keep_mid, mid, hi)
 
     lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    # bracket isolates τ: kept tokens are exactly those with logit > lo
-    return jnp.where(logits > lo, logits, NEG_INF)
+    # bracket isolates τ: kept tokens are exactly those with logit > lo.
+    # The loop predicate lives in exp space (probs > exp(mid − lse)) while
+    # this mask lives in logit space; at the bracket boundary the two can
+    # disagree by one exp ulp.  Harmless mid-distribution, but when the
+    # nucleus is a single token (peaked logits, small temperatures) τ equals
+    # the row max and a one-ulp slip lands ``lo`` ON it — keeping NOTHING,
+    # and a categorical over all-NEG_INF rows degenerates to token 0 (the
+    # gumbel noise is absorbed by finfo.min).  Keep the top-1 explicitly,
+    # which is the nucleus contract ("always keeping the top-1") and makes
+    # an empty keep-set impossible.
+    top = jnp.max(logits, axis=-1, keepdims=True)
+    return jnp.where((logits > lo) | (logits >= top), logits, NEG_INF)
 
 
 def topk_small(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -259,13 +259,16 @@ class ContinuousCaptionService:
     semantics (``captioner.decode_segment`` / ``admit_prefill``) remain the
     unit-testable reference implementation.
 
-    Token-for-token identical to one-shot greedy :func:`captioner.generate`
-    for every request (``tests/test_continuous.py``).  Greedy only — the
-    in-kernel argmax is what keeps the loop host-free; sampled serving
-    stays on ``CaptionService``.  The reference has no serving surface at
-    all (its decode is a notebook loop,
-    ``/root/reference/src/models.py:389-469``); continuous batching is this
-    framework's production capability add.
+    Greedy (default) is token-for-token identical to one-shot greedy
+    :func:`captioner.generate` for every request
+    (``tests/test_continuous.py``).  ``temperature``/``top_p`` select
+    sampled serving: the kernel streams logits and the categorical draw
+    (sort-free bisection nucleus mask, ``ops/sampling.py``) runs on device
+    inside the macro, keyed by the engine's global step counter — still
+    host-free, deterministic per ``(seed, submission order)``.  The
+    reference has no serving surface at all (its decode is a notebook
+    loop, ``/root/reference/src/models.py:389-469``); continuous batching
+    is this framework's production capability add.
 
     Compiled-program inventory (all fixed-shape): ONE macro-step program,
     plus one vision-encode program per admission-block bucket (powers of
@@ -287,6 +290,9 @@ class ContinuousCaptionService:
         max_length: int = 50,
         t_max: int | None = None,
         decode_precision: str | None = None,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        seed: int = 0,
         spec=None,
     ):
         from gpt2_image_captioning_tpu.models import captioner as C
@@ -308,6 +314,8 @@ class ContinuousCaptionService:
         self.bursts = bursts
         self.admit = min(admit if admit is not None else 32, slots)
         self.max_length = max_length
+        self.temperature, self.top_p = float(temperature), float(top_p)
+        self._rng = None if temperature == 0.0 else jax.random.PRNGKey(seed)
         self._packed = C.prepare_decode_weights(
             tr, fz, cfg, pol, quant=quant, tw=384 if slots % 256 == 0 else None
         )
@@ -450,9 +458,10 @@ class ContinuousCaptionService:
         self._state, out = self._CE.macro_step(
             self._packed, self._tr, self._fz, self._state,
             emb_dev, jnp.asarray(caps), jnp.asarray(uids),
-            jnp.asarray(n, jnp.int32),
+            jnp.asarray(n, jnp.int32), self._rng,
             cfg=self.cfg, policy=self._pol, seg=self.segment,
             bursts=self.bursts, admit=self.admit,
+            temperature=self.temperature, top_p=self.top_p,
         )
         self._inflight = (out, entries)
         self._stats["macros"] += 1

@@ -311,6 +311,55 @@ def test_continuous_service_matches_one_shot(tmp_path):
         assert svc.pop_result(rid_img) == want[4]
 
 
+def test_continuous_service_sampled():
+    """Sampled continuous serving: near-zero temperature reproduces greedy
+    token-for-token; temperature 1.0 is deterministic per (seed, submission
+    order) and re-draws under a different seed."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=8, gpt_dim=32)
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    rng = np.random.default_rng(21)
+    embs = rng.normal(size=(5, 8)).astype(np.float32)
+
+    def run(temperature, top_p, seed):
+        svc = ContinuousCaptionService(
+            model, None, None, slots=3, segment=2, bursts=2, admit=2,
+            max_length=6, temperature=temperature, top_p=top_p, seed=seed,
+        )
+        rids = [svc.submit_embedding(e) for e in embs]
+        svc.drain()
+        return [svc.pop_result(r) for r in rids]
+
+    with pltpu.force_tpu_interpret_mode():
+        want = model.generate_captions(
+            jnp.asarray(embs), max_length=6, temperature=0.0
+        )
+        # temperature → 0 limit: the categorical over scaled logits is argmax
+        assert run(1e-4, 0.9, 0) == want
+        # determinism per (seed, submission order); fresh noise across seeds
+        a1 = run(1.0, 0.9, 3)
+        a2 = run(1.0, 0.9, 3)
+        assert a1 == a2
+        b = run(1.0, 0.9, 4)
+        assert b != a1  # 5 requests × 6 draws over ~270 tokens: collision ≈ 0
+
+
 def test_fused_step_start_zeros_is_default():
     """start=zeros is bit-identical to omitting start."""
     cfg = _cfg()

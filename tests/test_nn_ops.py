@@ -101,6 +101,38 @@ def test_top_p_bisect_mask_matches_sort_oracle():
             np.testing.assert_array_equal(want, got, err_msg=f"p={p}")
 
 
+def test_top_p_bisect_peaked_rows_never_empty_under_jit():
+    """Regression: with a single-token nucleus (peaked logits — trained
+    models, or any logits at small temperatures), the bisection's exp-space
+    loop predicate and logit-space final mask can disagree by one ulp at the
+    boundary τ == row-max, leaving an EMPTY keep-set under jit fusion; a
+    categorical over all-NEG_INF rows then degenerates to token 0.  The mask
+    must always keep the top-1 and jitted sample_token must return the
+    argmax in the temperature→0 limit."""
+    import functools
+
+    from gpt2_image_captioning_tpu.ops.sampling import (
+        sample_token, top_p_filter_bisect,
+    )
+
+    rng = np.random.default_rng(9)
+    logits = jnp.asarray(rng.normal(size=(8, 293)).astype(np.float32))
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    for temp in (1e-4, 1e-2):
+        scaled = logits / temp
+        kept = np.asarray(
+            jax.jit(lambda x: top_p_filter_bisect(x, 0.9))(scaled)
+        ) > -1e30
+        assert (kept.sum(-1) >= 1).all()
+        assert kept[np.arange(8), want].all()
+        got = np.asarray(
+            jax.jit(functools.partial(sample_token, temperature=temp, top_p=0.9))(
+                logits, rng=jax.random.PRNGKey(0)
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 def test_sample_token_bisect_equals_sort_draws():
     """Given equal masks, the bisect and sort paths feed the same full-width
     categorical → bit-identical tokens for the same key."""
