@@ -167,6 +167,41 @@ def main():
     if s_agree < 0.95:  # same rng; only logit near-ties can diverge
         failures.append(f"sampled agreement {s_agree}")
 
+    # --- continuous batching: on-device macro engine, compiled on TPU ------
+    log("continuous: rolling-admission macro engine vs one-shot...")
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    class _IdTok:
+        """Tokenizer stub: captions are the space-joined token ids."""
+
+        def batch_decode(self, ids, skip_special_tokens=True):
+            return [
+                " ".join(str(int(t)) for t in row if int(t) != ccfg.eos_token_id)
+                for row in np.asarray(ids)
+            ]
+
+    cmodel = C.ImageCaptioningModel(ccfg, tokenizer=_IdTok())
+    cemb = rng.normal(size=(10, 16)).astype(np.float32)
+    want_caps = cmodel.generate_captions(
+        jnp.asarray(cemb), max_length=12, temperature=0.0
+    )
+    svc = ContinuousCaptionService(
+        cmodel, None, None, slots=4, segment=4, bursts=4, admit=4,
+        max_length=12,
+    )
+    rids = [svc.submit_embedding(e) for e in cemb]
+    svc.drain()
+    got_caps = [svc.pop_result(r) for r in rids]
+    c_same = sum(g == w for g, w in zip(got_caps, want_caps))
+    log(f"   continuous == one-shot for {c_same}/10 requests "
+        f"({svc.stats['macros']} macros)")
+    # requests admitted after the first wave sit at shifted cache positions:
+    # different chunk alignment → different MXU reduction order → random-init
+    # near-tie argmax flips are possible on-chip (interpret-mode tests pin
+    # exactness; cf. the beam-tie note in BASELINE.md)
+    if c_same < 8:
+        failures.append(f"continuous agreement {c_same}/10")
+
     # --- last: Pallas flash attention, compiled on TPU ---------------------
 
     log("5/5 pallas flash attention vs XLA (compiled)...")
