@@ -37,3 +37,18 @@ service = CaptionService(
 server = serve_http(service, port=5152)
 print("captioning at http://localhost:5152/caption  (POST image bytes)")
 server.serve_forever()
+
+# Alternative: rolling admission — a fixed pool of decode rows stays live
+# across requests and each freed row admits the next queued request
+# mid-flight, all inside ONE on-device macro-step program (greedy or
+# sampled; see models/continuous.py and docs/PERF_NOTES.md for when this
+# beats fixed batches):
+#
+#   from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+#   service = ContinuousCaptionService(
+#       model, vparams, vcfg, encoder="clip", slots=128, segment=4,
+#       bursts=8, max_length=50, decode_precision="bf16",
+#   )
+#   ids = [service.submit_array(img) for img in images]   # or submit_embedding
+#   service.drain()
+#   captions = [service.pop_result(i) for i in ids]

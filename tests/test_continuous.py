@@ -311,6 +311,50 @@ def test_continuous_service_matches_one_shot(tmp_path):
         assert svc.pop_result(rid_img) == want[4]
 
 
+def test_continuous_service_int8():
+    """decode_precision="int8" through the macro engine: W8A8 packed weights
+    + per-row start windows compose; captions match the one-shot int8 fused
+    decode for every request."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=8, gpt_dim=32)
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    rng = np.random.default_rng(33)
+    embs = rng.normal(size=(5, 8)).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        tr, fz, pol = model.decode_params("bf16")
+        ids = np.asarray(C.generate(
+            tr, fz, ccfg, jnp.asarray(embs), max_length=6, temperature=0.0,
+            top_p=1.0, policy=pol, decode_quant=True,
+        ))
+        want = tok.batch_decode(ids, skip_special_tokens=True)
+
+        svc = ContinuousCaptionService(
+            model, None, None, slots=3, segment=2, bursts=2, admit=2,
+            max_length=6, decode_precision="int8",
+        )
+        rids = [svc.submit_embedding(e) for e in embs]
+        svc.drain()
+        got = [svc.pop_result(r) for r in rids]
+    assert got == want
+
+
 def test_continuous_service_sampled():
     """Sampled continuous serving: near-zero temperature reproduces greedy
     token-for-token; temperature 1.0 is deterministic per (seed, submission
