@@ -628,22 +628,10 @@ def admit_prefill(
     return first, scatter(k, k_rows), scatter(v, v_rows)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def compact_cache(
-    k: jnp.ndarray, v: jnp.ndarray, shift: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Slide every live attention window down by ``shift`` positions.
-
-    Under rolling admission the uniform append position ``idx`` only grows;
-    when it nears the cache capacity the serving loop rolls the T axis down
-    by ``shift = min(start of live rows)`` and subtracts ``shift`` from
-    ``idx`` and every ``start`` — per-row windows ``[start_r, idx)`` are
-    preserved verbatim because the shift is uniform.  The rolled-around tail
-    is dead history (above the new ``idx``), never read thanks to the
-    per-row validity mask in the fused kernel.  One full cache copy,
-    amortized over ~``t_max - max_window`` decode steps.
-    """
-    return jnp.roll(k, -shift, axis=1), jnp.roll(v, -shift, axis=1)
+# (Cache compaction — the uniform roll-down of every live window when the
+# append position nears capacity — lives INSIDE the on-device macro engine,
+# at macro entry: models/continuous.py.  The host-driven compact_cache
+# helper it replaced was dead code once the engine landed.)
 
 
 # ---------------------------------------------------------------------------

@@ -450,6 +450,11 @@ class ContinuousCaptionService:
             rows_pad = np.full((bucket,), self.q_cap, np.int64)
             rows_pad[:m] = img_rows
             emb_dev = emb_dev.at[jnp.asarray(rows_pad)].set(enc, mode="drop")
+            # entries the macro fails to admit are re-queued by _harvest:
+            # hand them back as EMBEDDING entries (device rows, no host
+            # sync here) so a backlogged image is encoded exactly once
+            for j, i in enumerate(img_rows):
+                entries[i] = (entries[i][0], enc[j], True)
         caps = np.full((self.q_cap,), self.max_length, np.int32)
         uids = np.full((self.q_cap,), -1, np.int32)
         for i, (rid, _, _) in enumerate(entries):
@@ -467,12 +472,11 @@ class ContinuousCaptionService:
         self._stats["macros"] += 1
         self._stats["dispatch_s"] += time.perf_counter() - td
 
-    def _harvest(self) -> None:
-        """Fetch and apply the pending macro's packed output."""
-        if self._inflight is None:
+    def _harvest(self, inflight) -> None:
+        """Fetch and apply a dispatched macro's packed output."""
+        if inflight is None:
             return
-        out_dev, entries = self._inflight
-        self._inflight = None
+        out_dev, entries = inflight
         ts = time.perf_counter()
         out = np.asarray(out_dev)  # ONE device→host fetch per macro
         th = time.perf_counter()
@@ -513,26 +517,36 @@ class ContinuousCaptionService:
         self._stats["host_s"] += time.perf_counter() - th
 
     def step(self) -> dict[int, str]:
-        """Dispatch the next macro (if there is work), then harvest the
-        previous one — the packed-output fetch overlaps the new macro's
-        device execution (depth-1 pipeline).
+        """Dispatch the next macro (if there is visible work), then harvest
+        the PREVIOUS one — its packed-output fetch and host bookkeeping
+        overlap the new macro's device execution (depth-1 pipeline).
+
+        When no work is visible on the host (queue and live both empty) but
+        a macro is still in flight, no new macro is dispatched: its harvest
+        may reveal admissions/re-queued entries, and the next :meth:`step`
+        dispatches then.  At most one tail macro runs over an all-dead pool.
 
         Returns the requests completed during this call ({id: caption});
         they are also retained until popped via :meth:`pop_result`."""
         t0 = time.perf_counter()
         before = set(self._results)
+        prev, self._inflight = self._inflight, None
         if self._queue or self._live:
             self._dispatch()
-        self._harvest()
+        self._harvest(prev)
         self._stats["device_s"] += time.perf_counter() - t0
         return {r: c for r, c in self._results.items() if r not in before}
 
     def drain(self) -> dict[int, str]:
         """Run until the queue, the in-flight macro and every live request
         are exhausted."""
-        per_macro = self.slots * self.segment * self.bursts
-        total = (self.queued + self.live + 1) * self.max_length
-        limit = 8 + 6 * (total // max(1, per_macro) + 1)
+        # worst case (single-slot trickle): one request admits only when a
+        # row frees, then needs ceil(max_length / tokens-per-macro) macros;
+        # bound by requests × that, NOT by pool size (a large pool serving
+        # one long request would otherwise hit the guard mid-progress)
+        per_req = -(-self.max_length // (self.segment * self.bursts)) + 2
+        pending = self.queued + self.live + (1 if self._inflight else 0)
+        limit = 8 + (pending + 1) * per_req
         guard = 0
         while (self._queue or self._live or self._inflight) and guard < limit:
             guard += 1
@@ -673,7 +687,9 @@ def serve_http(
             except (TypeError, ValueError):
                 self._json(411, {"error": "missing or malformed Content-Length"})
                 return
-            if length > max_body_bytes:
+            if not 0 <= length <= max_body_bytes:
+                # negative Content-Length would make rfile.read(-1) buffer
+                # the stream until EOF — exactly the exhaustion this guards
                 self._json(
                     413, {"error": f"body exceeds {max_body_bytes} byte limit"}
                 )
