@@ -216,6 +216,11 @@ def test_rat_pipeline_build_store_from_files(tmp_path):
     import torch
     import yaml
 
+    from gpt2_image_captioning_tpu.retrieval import hnsw as H
+
+    if not H.available():
+        pytest.skip("libhnsw.so not built")
+
     from gpt2_image_captioning_tpu.core.config import Config
     from gpt2_image_captioning_tpu.data.embeddings_io import save_embeddings
     from gpt2_image_captioning_tpu.retrieval.rat_pipeline import build_store
