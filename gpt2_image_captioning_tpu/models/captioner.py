@@ -694,6 +694,14 @@ def beam_generate(
         DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode)
         and mesh is None
         and DS.BLOCK_B % k == 0
+        # Mosaic constraint: the kernel's per-block slice of the chunk-major
+        # origin map cuts the row dim, and HBM memref slices must be
+        # 128-aligned there — row counts off the 128 grid fail to compile on
+        # real TPUs (found by scripts/tpu_validation.py at 16 rows).  Small
+        # batches take the XLA path by default; explicit use_pallas_decode=
+        # True still opts in (interpret-mode tests, where tiling is not
+        # enforced).
+        and ((b * k) % DS.BLOCK_B == 0 or use_pallas_decode is True)
     )
     # narrow (tw=384) weight tiles unconditionally: beam mode's ancestry
     # gather needs the VMEM headroom even at 128-row blocks, and 256-row

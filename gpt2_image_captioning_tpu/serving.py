@@ -399,6 +399,18 @@ class ContinuousCaptionService:
         (``/root/reference/src/utils.py`` loads ``.pt`` embeddings)."""
         return self._enqueue(np.asarray(emb, np.float32), True, max_length)
 
+    def submit_prepped(self, arr: np.ndarray, max_length: int | None = None) -> int:
+        """Queue an already resize/cropped uint8 image matching
+        ``self.spec`` geometry.  ``serve_http_continuous`` preps images on
+        its handler threads (host decode parallelizes across clients) and
+        hands the pump thread prepped arrays; everything else should use
+        :meth:`submit_array`."""
+        a = np.asarray(arr, np.uint8)
+        side = self.spec.crop or self.spec.resize
+        if a.shape != (side, side, 3):
+            raise ValueError(f"prepped image must be {(side, side, 3)}, got {a.shape}")
+        return self._enqueue(a, False, max_length)
+
     @property
     def live(self) -> int:
         """Requests admitted to the device pool and not yet completed (by
@@ -599,15 +611,16 @@ class ContinuousCaptionService:
 class _Pending:
     """One in-flight /caption request: decoded pixels in, caption/error out."""
 
-    __slots__ = ("array", "event", "caption", "error")
+    __slots__ = ("array", "event", "caption", "error", "max_length")
 
-    def __init__(self, array: np.ndarray):
+    def __init__(self, array: np.ndarray, max_length: int | None = None):
         import threading
 
         self.array = array
         self.event = threading.Event()
         self.caption: str | None = None
         self.error: str | None = None
+        self.max_length = max_length
 
 
 def serve_http(
@@ -744,4 +757,196 @@ def serve_http(
     t = threading.Thread(target=dispatcher, daemon=True, name="caption-dispatcher")
     t.start()
     server.dispatcher_thread = t
+    return server
+
+
+def serve_http_continuous(
+    service: ContinuousCaptionService,
+    host: str = "127.0.0.1",
+    port: int = 5152,
+    *,
+    max_body_bytes: int = 32 << 20,
+    request_timeout_s: float = 300.0,
+):
+    """Stdlib HTTP endpoint over a :class:`ContinuousCaptionService`.
+
+    - ``POST /caption[?max_length=N]`` with an encoded image body →
+      ``{"caption": str}``
+    - ``GET /healthz`` → ``{"ok": true, ...stats}``
+
+    Where :func:`serve_http` coalesces requests into *synchronous* fixed
+    batches (every request in a batch waits for the slowest caption),
+    this surface feeds the rolling-admission pool: each request is
+    admitted into a freed decode row mid-flight and completes at ITS OWN
+    length, so a short caption never pays a long one's latency and the
+    device pool stays occupied under ragged loads.
+
+    Threading contract: ``ContinuousCaptionService`` is single-threaded by
+    design (one jitted macro program over donated state), so ONE pump
+    thread owns every ``service`` call.  Handler threads do the
+    embarrassingly-parallel host work per request (body read, JPEG decode,
+    resize/crop), enqueue the prepped array, and block on a per-request
+    event; the pump submits queued intakes, turns the serving loop
+    (:meth:`ContinuousCaptionService.step` — dispatch next macro, harvest
+    previous), and fans completions back out.  When fully idle it blocks
+    on the intake queue, burning no CPU.
+
+    Returns the ``ThreadingHTTPServer`` (run ``serve_forever()`` from a
+    thread; ``shutdown()`` also stops the pump).
+    """
+    import queue
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    intake: queue.Queue = queue.Queue()
+    stop = object()
+
+    # CPU-testing nicety: `pltpu.force_tpu_interpret_mode()` is THREAD-local,
+    # so a caller tracing the macro under it would see the pump thread
+    # retrace WITHOUT interpret lowering and fail ("Only interpret mode is
+    # supported on CPU backend").  Inherit the caller's setting onto the
+    # pump thread; no effect on real TPUs, degrades to nothing if the jax
+    # internal moves.
+    try:
+        from jax._src import config as _jax_config
+
+        _interp_state = _jax_config.pallas_tpu_interpret_mode_context_manager
+        _caller_interp = _interp_state.get_local()
+        if type(_caller_interp) is object:  # the unset sentinel
+            _interp_state = _caller_interp = None
+    except Exception:  # pragma: no cover - jax internals moved
+        _interp_state = _caller_interp = None
+
+    def pump():
+        if _interp_state is not None:
+            try:
+                _interp_state.set_local(_caller_interp)
+            except Exception:  # pragma: no cover
+                pass
+        rid_map: dict[int, _Pending] = {}
+        while True:
+            busy = bool(
+                rid_map or service.queued or service.live
+                or service._inflight is not None
+            )
+            try:
+                # block only when there is nothing to serve
+                item = intake.get(block=not busy) if not busy else intake.get_nowait()
+            except queue.Empty:
+                item = None
+            while True:
+                if item is stop:
+                    for p in rid_map.values():
+                        p.error = "server shut down"
+                        p.event.set()
+                    return
+                if item is None:
+                    break
+                try:
+                    rid = service.submit_prepped(item.array, item.max_length)
+                    rid_map[rid] = item
+                except Exception as e:  # bad geometry etc.
+                    item.error = str(e)
+                    item.event.set()
+                try:
+                    item = intake.get_nowait()  # drain the burst
+                except queue.Empty:
+                    break
+            if not (service.queued or service.live or service._inflight):
+                continue
+            try:
+                done = service.step()
+            except Exception as e:  # device failure: fail ALL waiters loudly
+                for p in rid_map.values():
+                    p.error = str(e)
+                    p.event.set()
+                rid_map.clear()
+                continue
+            for rid, caption in done.items():
+                service.pop_result(rid)
+                p = rid_map.pop(rid, None)
+                if p is not None:
+                    p.caption = caption
+                    p.event.set()
+
+    class Server(ThreadingHTTPServer):
+        daemon_threads = True
+
+        def shutdown(self):
+            intake.put(stop)
+            super().shutdown()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, **service.stats})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            from urllib.parse import parse_qs, urlparse
+
+            u = urlparse(self.path)
+            if u.path != "/caption":
+                self._json(404, {"error": "not found"})
+                return
+            max_length = None
+            q = parse_qs(u.query).get("max_length")
+            if q:
+                try:
+                    max_length = int(q[0])
+                    if not 1 <= max_length <= service.max_length:
+                        raise ValueError
+                except ValueError:
+                    self._json(
+                        400,
+                        {"error": f"max_length must be in [1, {service.max_length}]"},
+                    )
+                    return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._json(411, {"error": "missing or malformed Content-Length"})
+                return
+            if not 0 <= length <= max_body_bytes:
+                self._json(
+                    413, {"error": f"body exceeds {max_body_bytes} byte limit"}
+                )
+                return
+            blob = self.rfile.read(length)
+            from PIL import Image, UnidentifiedImageError
+
+            try:
+                rgb = np.asarray(
+                    Image.open(io.BytesIO(blob)).convert("RGB"), np.uint8
+                )
+                arr = resize_and_crop(rgb, service.spec)
+            except (UnidentifiedImageError, OSError, ValueError) as e:
+                self._json(400, {"error": f"not a decodable image: {e}"})
+                return
+            p = _Pending(arr, max_length)
+            intake.put(p)
+            if not p.event.wait(timeout=request_timeout_s):
+                self._json(504, {"error": "caption timed out"})
+                return
+            if p.error is not None:
+                self._json(500, {"error": p.error})
+                return
+            self._json(200, {"caption": p.caption})
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = Server((host, port), Handler)
+    t = threading.Thread(target=pump, daemon=True, name="caption-pump")
+    t.start()
+    server.pump_thread = t
     return server

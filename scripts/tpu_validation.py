@@ -139,7 +139,11 @@ def main():
         failures.append("fused retrieve shape")
 
     # --- beam search on-chip sanity ----------------------------------------
-    log("beam: beam_generate(4) on TPU...")
+    # small-batch leg (16 rows): rides the XLA beam path (the beam-aware
+    # kernel's origin-map slice needs the row dim on the 128 grid — the
+    # fused default gates on it, which this leg regression-checks by NOT
+    # crashing Mosaic)
+    log("beam: beam_generate(4) on TPU (16 rows, XLA path)...")
     beam_toks = np.asarray(
         C.beam_generate(tr, fz, ccfg, emb, max_length=8, beam_size=4)
     )
@@ -150,6 +154,19 @@ def main():
         f"{(beam_toks != greedy8).any(axis=1).sum()}/4")
     if beam_toks.shape != greedy8.shape:
         failures.append("beam output shape")
+
+    # row-aligned leg (32 images x beam 4 = 128 rows): the beam-aware fused
+    # kernel Mosaic-compiles and runs on the real chip
+    log("beam: beam-aware fused kernel at 128 rows...")
+    emb32 = jnp.asarray(
+        np.random.default_rng(21).normal(size=(32, 512)).astype(np.float32)
+    )
+    beam_f = np.asarray(
+        C.beam_generate(tr, fz, ccfg, emb32, max_length=8, beam_size=4)
+    )
+    log(f"   fused beam shape {beam_f.shape}")
+    if beam_f.shape != (32, 8):
+        failures.append("fused beam output shape")
 
     # --- sampled decode: fused emit_logits vs XLA forward, on-chip ---------
     log("sampled: fused emit_logits vs XLA path (T=0.9, top_p=0.9)...")

@@ -270,3 +270,115 @@ def test_http_concurrent_clients_coalesce(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_continuous_endpoint(service):
+    """serve_http_continuous: concurrent POSTs ride the rolling-admission
+    pool and return exactly the one-shot captions; per-request ?max_length
+    caps the caption; bad bodies 400; /healthz reports engine stats.
+
+    Pallas interpret mode is set GLOBALLY here (not via the thread-local
+    ``force_tpu_interpret_mode`` context manager): the server's pump thread
+    owns the service, and a thread-local flag would retrace the macro on
+    that thread without interpret lowering (→ CPU pallas error)."""
+    import contextlib
+
+    from jax._src import config as _jc
+    from jax.experimental.pallas import tpu as pltpu
+    from PIL import Image
+
+    @contextlib.contextmanager
+    def global_interpret():
+        st = _jc.pallas_tpu_interpret_mode_context_manager
+        prev = st.get_global()
+        st.set_global(pltpu.InterpretParams())
+        try:
+            yield
+        finally:
+            st.set_global(prev)
+
+    from gpt2_image_captioning_tpu.embeddings.preprocess import resize_and_crop
+    from gpt2_image_captioning_tpu.serving import (
+        ContinuousCaptionService,
+        serve_http_continuous,
+    )
+
+    _, vparams, vcfg, model = service
+    csvc = ContinuousCaptionService(
+        model, vparams, vcfg, encoder="clip", slots=3, segment=2, bursts=2,
+        admit=2, max_length=6,
+    )
+    imgs = _imgs(6, np.random.default_rng(11))
+    with global_interpret():
+        # ground truth through the service itself; the pump thread traces
+        # under the same (global) interpret setting
+        want = csvc.caption_arrays(imgs)
+        # capped ground truth from the one-shot token matrix
+        prepped = np.stack([resize_and_crop(im, csvc.spec) for im in imgs])
+        emb = csvc._encode(vparams, jnp.asarray(prepped))
+        ids = np.asarray(model.generate(emb, max_length=6, temperature=0.0))
+        want_capped = model.tokenizer.batch_decode(
+            ids[:1, :2], skip_special_tokens=True
+        )[0]
+
+        server = serve_http_continuous(csvc, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        results = [None] * len(imgs)
+
+        def post(i):
+            buf = io.BytesIO()
+            Image.fromarray(imgs[i]).save(buf, format="PNG")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/caption", data=buf.getvalue(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = json.loads(r.read())["caption"]
+
+        try:
+            threads = [
+                threading.Thread(target=post, args=(i,)) for i in range(len(imgs))
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=120)
+            assert results == want  # right caption to the right client
+
+            # per-request max_length through the query string
+            buf = io.BytesIO()
+            Image.fromarray(imgs[0]).save(buf, format="PNG")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/caption?max_length=2",
+                data=buf.getvalue(), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert json.loads(r.read())["caption"] == want_capped
+
+            # out-of-range max_length → 400
+            bad_len = urllib.request.Request(
+                f"http://127.0.0.1:{port}/caption?max_length=99",
+                data=buf.getvalue(), method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad_len, timeout=30)
+            assert ei.value.code == 400
+
+            # malformed body → 400, server stays up
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}/caption", data=b"junk", method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad, timeout=30)
+            assert ei.value.code == 400
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ) as r:
+                health = json.loads(r.read())
+            assert health["ok"] is True and health["images"] >= 13
+        finally:
+            server.shutdown()
+            server.server_close()
