@@ -159,7 +159,9 @@ def main():
     # kernel Mosaic-compiles and runs on the real chip
     log("beam: beam-aware fused kernel at 128 rows...")
     emb32 = jnp.asarray(
-        np.random.default_rng(21).normal(size=(32, 512)).astype(np.float32)
+        np.random.default_rng(21)
+        .normal(size=(32, ccfg.mapping.embed_dim))
+        .astype(np.float32)
     )
     beam_f = np.asarray(
         C.beam_generate(tr, fz, ccfg, emb32, max_length=8, beam_size=4)
