@@ -41,7 +41,7 @@ from gpt2_image_captioning_tpu.models.captioner import (
     build_prefix,
 )
 from gpt2_image_captioning_tpu.ops import decode_step as DS
-from gpt2_image_captioning_tpu.ops.sampling import sample_token
+from gpt2_image_captioning_tpu.ops.sampling import top_p_filter_bisect
 
 
 def init_state(cfg: CaptionerConfig, slots: int, t_max: int, prefix_len: int,
@@ -60,6 +60,10 @@ def init_state(cfg: CaptionerConfig, slots: int, t_max: int, prefix_len: int,
         "gen": jnp.zeros((slots,), jnp.int32),
         "cap": jnp.zeros((slots,), jnp.int32),
         "uid": jnp.full((slots,), -1, jnp.int32),
+        # per-row sampling params (sampled mode only; carried like cap/uid
+        # so every request decodes with ITS OWN temperature/top_p)
+        "temp": jnp.zeros((slots,), jnp.float32),
+        "topp": jnp.ones((slots,), jnp.float32),
         # global decode-step counter: monotone across macros and compactions
         # (unlike ``idx``), so sampled mode can fold it into the PRNG key
         # without ever reusing noise
@@ -70,7 +74,7 @@ def init_state(cfg: CaptionerConfig, slots: int, t_max: int, prefix_len: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "policy", "seg", "bursts", "admit", "temperature",
-                     "top_p"),
+                     "top_p", "sampled"),
     donate_argnums=(3,),
 )
 def macro_step(
@@ -83,6 +87,8 @@ def macro_step(
     uid_q: jnp.ndarray,   # (Q,) int32 request uids
     n_q: jnp.ndarray,     # () int32 — valid staged count (<= Q)
     rng: jax.Array | None = None,
+    temp_q: jnp.ndarray | None = None,  # (Q,) f32 per-request temperature
+    topp_q: jnp.ndarray | None = None,  # (Q,) f32 per-request top_p
     *,
     cfg: CaptionerConfig,
     policy: Policy,
@@ -91,6 +97,7 @@ def macro_step(
     admit: int,
     temperature: float = 0.0,
     top_p: float = 1.0,
+    sampled: bool | None = None,
 ) -> tuple[dict, jnp.ndarray]:
     """``bursts*seg`` fused decode steps with admission every ``seg``-th
     step, compiled as ONE program (a single flat ``lax.scan``).
@@ -117,16 +124,26 @@ def macro_step(
     bursts*seg`` — compaction at macro entry rebases ``idx`` to the longest
     live window, and ``idx`` then grows by ``bursts*seg``.
 
-    ``temperature``/``top_p`` select sampled serving: the kernel emits full
-    logits (``emit_logits``) and the temperature/top-p/categorical selection
-    (:func:`ops.sampling.sample_token`, sort-free bisection nucleus mask)
-    runs on device inside the scan.  Noise is keyed by folding the global
-    step counter ``state["t"]`` (decode steps use ``2t``, the burst's
-    admission point ``2t+1``), so every draw across macros is fresh and a
-    fixed ``(rng, submission order)`` replays exactly.
+    Sampled serving: ``sampled=True`` (default: ``temperature != 0``)
+    compiles the emit-logits program, and every row decodes with ITS OWN
+    ``(temperature, top_p)`` — staged per request via ``temp_q``/``topp_q``
+    (default: the static ``temperature``/``top_p``), carried in the state
+    like ``cap``, and applied per row (temperature scaling broadcasts; the
+    sort-free bisection nucleus mask is per-row math already).  Rows with
+    temperature 0 take the argmax — greedy and sampled requests mix freely
+    in one pool.  Noise is keyed by folding the global step counter
+    ``state["t"]`` (decode steps use ``2t``, the burst's admission point
+    ``2t+1``), so every draw across macros is fresh and a fixed ``(rng,
+    submission order)`` replays exactly.
     """
-    if temperature != 0.0 and rng is None:
-        raise ValueError("sampled macro_step (temperature != 0) needs rng")
+    if sampled is None:
+        sampled = temperature != 0.0
+    if sampled and rng is None:
+        raise ValueError("sampled macro_step needs rng")
+    if temp_q is None:
+        temp_q = jnp.full((emb_q.shape[0],), temperature, jnp.float32)
+    if topp_q is None:
+        topp_q = jnp.full((emb_q.shape[0],), top_p, jnp.float32)
     gpt_params = _gpt(trainable, frozen)
     wte, wpe = gpt_params["wte"], gpt_params["wpe"]
     eos = cfg.eos_token_id
@@ -157,9 +174,23 @@ def macro_step(
     carry0 = (
         k, v, idx, start, state["prev"], finished,
         state["gen"], state["cap"], state["uid"],
+        state["temp"], state["topp"],
         jnp.zeros((), jnp.int32),  # qhead
         state["t"],
     )
+
+    def sample_rows(lg, temp, topp, key):
+        """Per-row temperature/top-p/categorical; temp==0 rows take argmax.
+
+        The bisection nucleus mask is per-row math already (its threshold
+        search runs rowwise), so a (R, 1) ``top_p`` broadcasts; ``top_p >=
+        1`` rows keep the whole vocabulary and the filter is the identity."""
+        lg32 = lg.astype(jnp.float32)
+        greedy = jnp.argmax(lg32, axis=-1).astype(jnp.int32)
+        tsafe = jnp.where(temp > 0, temp, 1.0)
+        filtered = top_p_filter_bisect(lg32 / tsafe[:, None], topp[:, None])
+        cat = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
+        return jnp.where(temp > 0, cat, greedy)
 
     # Scan over BURSTS with the ``seg`` decode steps python-unrolled inside,
     # and ZERO scatter ops.  Two rejected shapes (scripts/continuous_decomp.py,
@@ -175,7 +206,8 @@ def macro_step(
     # once per burst, so the window traffic (~0.1 ms) amortizes over ``seg``
     # steps.
     def burst_fn(carry, _):
-        k, v, idx, start, prev, finished, gen, cap, uid, qhead, tstep = carry
+        (k, v, idx, start, prev, finished, gen, cap, uid, temp, topp,
+         qhead, tstep) = carry
 
         # -- admission (burst entry): free rows × staged requests ----------
         free = finished
@@ -200,12 +232,12 @@ def macro_step(
                 gpt_params, cfg.gpt2, prefix, cache_n, policy,
                 fresh_prefill=True,
             )
-            if temperature == 0.0:
+            if not sampled:
                 first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             else:
-                first = sample_token(
-                    logits, temperature=temperature, top_p=top_p,
-                    rng=jax.random.fold_in(rng, tstep * 2 + 1),
+                first = sample_rows(
+                    logits, temp_q[qidx], topp_q[qidx],
+                    jax.random.fold_in(rng, tstep * 2 + 1),
                 )
             k_rows = cache_n["k"][:, :p_len].astype(k.dtype)  # (L, P, A, D)
             v_rows = cache_n["v"][:, :p_len].astype(v.dtype)
@@ -246,6 +278,8 @@ def macro_step(
         gen = place(jnp.ones((admit,), jnp.int32), gen)
         cap = place(cap_a, cap)
         uid = place(uid_q[qidx], uid)
+        temp = place(temp_q[qidx], temp)
+        topp = place(topp_q[qidx], topp)
         adm_done = (first == eos) | (cap_a <= 1)
         finished = place(adm_done, finished)
         qhead = qhead + ntake
@@ -267,7 +301,7 @@ def macro_step(
             x0 = (
                 jnp.take(wte, prev, axis=0) + jnp.take(wpe, local, axis=0)
             ).astype(cdt)
-            if temperature == 0.0:
+            if not sampled:
                 tok, k, v = DS.fused_decode_step(
                     packed, x0, k, v, idx,
                     n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
@@ -280,9 +314,8 @@ def macro_step(
                     eps=cfg.gpt2.layer_norm_epsilon, start=start,
                     emit_logits=True,
                 )
-                tok = sample_token(
-                    lg, temperature=temperature, top_p=top_p,
-                    rng=jax.random.fold_in(rng, tstep * 2),
+                tok = sample_rows(
+                    lg, temp, topp, jax.random.fold_in(rng, tstep * 2)
                 )
             tok = jnp.where(live, tok, eos)
             tstep = tstep + 1
@@ -296,15 +329,17 @@ def macro_step(
                  first_pad if j == 0 else neg,
                  admuid_pad if j == 0 else neg], axis=0))
 
-        carry = (k, v, idx, start, prev, finished, gen, cap, uid, qhead, tstep)
+        carry = (k, v, idx, start, prev, finished, gen, cap, uid, temp, topp,
+                 qhead, tstep)
         return carry, jnp.stack(outs, axis=0)  # (seg, 4, S)
 
-    (k, v, idx, start, prev, finished, gen, cap, uid, _, t), outs = jax.lax.scan(
-        burst_fn, carry0, None, length=bursts
+    (k, v, idx, start, prev, finished, gen, cap, uid, temp, topp, _, t), outs = (
+        jax.lax.scan(burst_fn, carry0, None, length=bursts)
     )
     outs = outs.reshape(bursts * seg, 4, s)
     state = {
         "k": k, "v": v, "idx": idx, "start": start, "prev": prev,
-        "finished": finished, "gen": gen, "cap": cap, "uid": uid, "t": t,
+        "finished": finished, "gen": gen, "cap": cap, "uid": uid,
+        "temp": temp, "topp": topp, "t": t,
     }
     return state, outs

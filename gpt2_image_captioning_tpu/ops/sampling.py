@@ -33,9 +33,16 @@ def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return jnp.where(mask, NEG_INF, logits)
 
 
-def top_p_filter_bisect(logits: jnp.ndarray, top_p: float, iters: int = 32) -> jnp.ndarray:
+def top_p_filter_bisect(
+    logits: jnp.ndarray, top_p: float | jnp.ndarray, iters: int = 32
+) -> jnp.ndarray:
     """Sort-free nucleus mask: the same kept set as :func:`top_p_filter`,
     computed by per-row bisection on the logit threshold.
+
+    ``top_p`` may be a scalar or a per-row ``(B, 1)`` array (the threshold
+    search is rowwise either way — continuous serving hands every pool row
+    its own request's ``top_p``).  Rows with ``top_p >= 1`` keep the whole
+    vocabulary (the bracket floor ``row_min - 1`` is below every logit).
 
     A full-vocab descending sort costs ~60 ms per step at (128, 50257) on TPU
     (~85× the fused decode forward) and its cost is why top-p decoding is

@@ -292,6 +292,7 @@ class ContinuousCaptionService:
         decode_precision: str | None = None,
         temperature: float = 0.0,
         top_p: float = 0.9,
+        per_request_sampling: bool = False,
         seed: int = 0,
         spec=None,
     ):
@@ -315,7 +316,14 @@ class ContinuousCaptionService:
         self.admit = min(admit if admit is not None else 32, slots)
         self.max_length = max_length
         self.temperature, self.top_p = float(temperature), float(top_p)
-        self._rng = None if temperature == 0.0 else jax.random.PRNGKey(seed)
+        # sampled mode compiles the emit-logits macro with PER-ROW
+        # temperature/top_p (models/continuous.py): every request may carry
+        # its own values, and temperature-0 rows take the argmax, so greedy
+        # and sampled requests mix in one pool.  per_request_sampling=True
+        # opts a greedy-default service into that program (slightly more
+        # device work per step than the pure in-kernel-argmax program).
+        self.sampled = bool(per_request_sampling) or temperature != 0.0
+        self._rng = None if not self.sampled else jax.random.PRNGKey(seed)
         self._packed = C.prepare_decode_weights(
             tr, fz, cfg, pol, quant=quant, tw=384 if slots % 256 == 0 else None
         )
@@ -351,6 +359,8 @@ class ContinuousCaptionService:
         self._live: set[int] = set()
         self._emitted: dict[int, list[int]] = {}
         self._req_max: dict[int, int] = {}
+        self._req_temp: dict[int, float] = {}
+        self._req_topp: dict[int, float] = {}
         self._submit_t: dict[int, float] = {}
         self._latencies: list[float] = []
         self._results: dict[int, str] = {}
@@ -363,43 +373,96 @@ class ContinuousCaptionService:
         }
 
     # -- request intake ------------------------------------------------------
-    def _enqueue(self, payload, is_emb: bool, max_length: int | None) -> int:
+    def _enqueue(
+        self,
+        payload,
+        is_emb: bool,
+        max_length: int | None,
+        temperature: float | None = None,
+        top_p: float | None = None,
+    ) -> int:
         if max_length is not None and not 1 <= max_length <= self.max_length:
             raise ValueError(
                 f"per-request max_length must be in [1, {self.max_length}]"
             )
+        if temperature is not None:
+            if not self.sampled and temperature != 0.0:
+                raise ValueError(
+                    "per-request temperature needs a sampled service — construct "
+                    "with temperature>0 or per_request_sampling=True (the greedy "
+                    "service compiles the in-kernel-argmax program, which never "
+                    "materializes logits)"
+                )
+            if temperature < 0.0:
+                raise ValueError(f"temperature must be >= 0, got {temperature}")
+        if top_p is not None and not 0.0 < top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         rid = self._next_id
         self._next_id += 1
         self._queue.append((rid, payload, is_emb))
         if max_length is not None:
             self._req_max[rid] = max_length
+        if temperature is not None:
+            self._req_temp[rid] = float(temperature)
+        if top_p is not None:
+            self._req_topp[rid] = float(top_p)
         self._submit_t[rid] = time.perf_counter()
         return rid
 
-    def submit_array(self, rgb: np.ndarray, max_length: int | None = None) -> int:
+    def submit_array(
+        self,
+        rgb: np.ndarray,
+        max_length: int | None = None,
+        temperature: float | None = None,
+        top_p: float | None = None,
+    ) -> int:
         """Queue one uint8 RGB image (any size); returns a request id.
 
         ``max_length`` caps this request's caption below the service-wide
-        limit (the cache is provisioned for the service limit)."""
+        limit (the cache is provisioned for the service limit).
+        ``temperature``/``top_p`` override the service defaults for THIS
+        request (sampled services only — the engine decodes every pool row
+        with its own values; ``temperature=0`` selects greedy)."""
         return self._enqueue(
-            resize_and_crop(np.asarray(rgb, np.uint8), self.spec), False, max_length
+            resize_and_crop(np.asarray(rgb, np.uint8), self.spec), False,
+            max_length, temperature, top_p,
         )
 
-    def submit_bytes(self, blob: bytes, max_length: int | None = None) -> int:
+    def submit_bytes(
+        self,
+        blob: bytes,
+        max_length: int | None = None,
+        temperature: float | None = None,
+        top_p: float | None = None,
+    ) -> int:
         from PIL import Image
 
         return self.submit_array(
             np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"), np.uint8),
-            max_length,
+            max_length, temperature, top_p,
         )
 
-    def submit_embedding(self, emb: np.ndarray, max_length: int | None = None) -> int:
+    def submit_embedding(
+        self,
+        emb: np.ndarray,
+        max_length: int | None = None,
+        temperature: float | None = None,
+        top_p: float | None = None,
+    ) -> int:
         """Queue a precomputed image embedding (E,) — skips the vision
         encoder, serving the reference's embedding-file workflow
         (``/root/reference/src/utils.py`` loads ``.pt`` embeddings)."""
-        return self._enqueue(np.asarray(emb, np.float32), True, max_length)
+        return self._enqueue(
+            np.asarray(emb, np.float32), True, max_length, temperature, top_p
+        )
 
-    def submit_prepped(self, arr: np.ndarray, max_length: int | None = None) -> int:
+    def submit_prepped(
+        self,
+        arr: np.ndarray,
+        max_length: int | None = None,
+        temperature: float | None = None,
+        top_p: float | None = None,
+    ) -> int:
         """Queue an already resize/cropped uint8 image matching
         ``self.spec`` geometry.  ``serve_http_continuous`` preps images on
         its handler threads (host decode parallelizes across clients) and
@@ -409,7 +472,7 @@ class ContinuousCaptionService:
         side = self.spec.crop or self.spec.resize
         if a.shape != (side, side, 3):
             raise ValueError(f"prepped image must be {(side, side, 3)}, got {a.shape}")
-        return self._enqueue(a, False, max_length)
+        return self._enqueue(a, False, max_length, temperature, top_p)
 
     @property
     def live(self) -> int:
@@ -425,6 +488,8 @@ class ContinuousCaptionService:
     def _complete(self, rid: int) -> None:
         toks = self._emitted.pop(rid)
         self._req_max.pop(rid, None)
+        self._req_temp.pop(rid, None)
+        self._req_topp.pop(rid, None)
         self._live.discard(rid)
         t_sub = self._submit_t.pop(rid, None)
         if t_sub is not None:
@@ -469,16 +534,22 @@ class ContinuousCaptionService:
                 entries[i] = (entries[i][0], enc[j], True)
         caps = np.full((self.q_cap,), self.max_length, np.int32)
         uids = np.full((self.q_cap,), -1, np.int32)
+        temps = np.full((self.q_cap,), self.temperature, np.float32)
+        topps = np.full((self.q_cap,), self.top_p, np.float32)
         for i, (rid, _, _) in enumerate(entries):
             caps[i] = self._req_max.get(rid, self.max_length)
             uids[i] = rid
+            temps[i] = self._req_temp.get(rid, self.temperature)
+            topps[i] = self._req_topp.get(rid, self.top_p)
         self._state, out = self._CE.macro_step(
             self._packed, self._tr, self._fz, self._state,
             emb_dev, jnp.asarray(caps), jnp.asarray(uids),
             jnp.asarray(n, jnp.int32), self._rng,
+            jnp.asarray(temps), jnp.asarray(topps),
             cfg=self.cfg, policy=self._pol, seg=self.segment,
             bursts=self.bursts, admit=self.admit,
             temperature=self.temperature, top_p=self.top_p,
+            sampled=self.sampled,
         )
         self._inflight = (out, entries)
         self._stats["macros"] += 1
@@ -611,9 +682,16 @@ class ContinuousCaptionService:
 class _Pending:
     """One in-flight /caption request: decoded pixels in, caption/error out."""
 
-    __slots__ = ("array", "event", "caption", "error", "max_length")
+    __slots__ = ("array", "event", "caption", "error", "max_length",
+                 "temperature", "top_p")
 
-    def __init__(self, array: np.ndarray, max_length: int | None = None):
+    def __init__(
+        self,
+        array: np.ndarray,
+        max_length: int | None = None,
+        temperature: float | None = None,
+        top_p: float | None = None,
+    ):
         import threading
 
         self.array = array
@@ -621,6 +699,8 @@ class _Pending:
         self.caption: str | None = None
         self.error: str | None = None
         self.max_length = max_length
+        self.temperature = temperature
+        self.top_p = top_p
 
 
 def serve_http(
@@ -843,7 +923,10 @@ def serve_http_continuous(
                 if item is None:
                     break
                 try:
-                    rid = service.submit_prepped(item.array, item.max_length)
+                    rid = service.submit_prepped(
+                        item.array, item.max_length, item.temperature,
+                        item.top_p,
+                    )
                     rid_map[rid] = item
                 except Exception as e:  # bad geometry etc.
                     item.error = str(e)
@@ -898,8 +981,9 @@ def serve_http_continuous(
             if u.path != "/caption":
                 self._json(404, {"error": "not found"})
                 return
-            max_length = None
-            q = parse_qs(u.query).get("max_length")
+            qs = parse_qs(u.query)
+            max_length = temperature = top_p = None
+            q = qs.get("max_length")
             if q:
                 try:
                     max_length = int(q[0])
@@ -910,6 +994,28 @@ def serve_http_continuous(
                         400,
                         {"error": f"max_length must be in [1, {service.max_length}]"},
                     )
+                    return
+            q = qs.get("temperature")
+            if q:
+                try:
+                    temperature = float(q[0])
+                    if not (temperature >= 0.0 and (service.sampled or temperature == 0.0)):
+                        raise ValueError
+                except ValueError:
+                    self._json(
+                        400,
+                        {"error": "temperature must be >= 0 (and the service "
+                                  "sampled for temperature > 0)"},
+                    )
+                    return
+            q = qs.get("top_p")
+            if q:
+                try:
+                    top_p = float(q[0])
+                    if not 0.0 < top_p <= 1.0:
+                        raise ValueError
+                except ValueError:
+                    self._json(400, {"error": "top_p must be in (0, 1]"})
                     return
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -932,7 +1038,7 @@ def serve_http_continuous(
             except (UnidentifiedImageError, OSError, ValueError) as e:
                 self._json(400, {"error": f"not a decodable image: {e}"})
                 return
-            p = _Pending(arr, max_length)
+            p = _Pending(arr, max_length, temperature, top_p)
             intake.put(p)
             if not p.event.wait(timeout=request_timeout_s):
                 self._json(504, {"error": "caption timed out"})

@@ -429,3 +429,87 @@ def test_fused_step_start_zeros_is_default():
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(z))
     np.testing.assert_array_equal(np.asarray(ka), np.asarray(kz))
+
+
+def test_continuous_per_request_sampling():
+    """Every pool row decodes with ITS OWN (temperature, top_p): greedy and
+    sampled requests mix in one pool; greedy rows are exactly one-shot
+    greedy; sampled rows are deterministic per seed and re-draw across
+    seeds; a service-level sampled config equals the same values passed
+    per-request; requesting temperature on a pure-greedy service raises."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import mapping as M
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=8, gpt_dim=32)
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    rng = np.random.default_rng(33)
+    embs = rng.normal(size=(6, 8)).astype(np.float32)
+
+    def make(seed, **kw):
+        return ContinuousCaptionService(
+            model, None, None, slots=3, segment=2, bursts=2, admit=2,
+            max_length=6, seed=seed, **kw,
+        )
+
+    def run_mixed(seed):
+        svc = make(seed, per_request_sampling=True)  # greedy default
+        rids = []
+        for i, e in enumerate(embs):
+            if i % 2 == 0:
+                rids.append(svc.submit_embedding(e))  # service default: greedy
+            else:
+                rids.append(
+                    svc.submit_embedding(e, temperature=1.0, top_p=0.9)
+                )
+        svc.drain()
+        return [svc.pop_result(r) for r in rids]
+
+    with pltpu.force_tpu_interpret_mode():
+        want = model.generate_captions(
+            jnp.asarray(embs), max_length=6, temperature=0.0
+        )
+        a1 = run_mixed(3)
+        a2 = run_mixed(3)
+        assert a1 == a2  # deterministic per (seed, submission order)
+        assert a1[0::2] == want[0::2]  # greedy rows EXACT despite mixing
+        b = run_mixed(4)
+        assert b[0::2] == want[0::2]  # greedy rows seed-independent
+        assert b[1::2] != a1[1::2]  # sampled rows re-draw across seeds
+
+        # explicit temperature=0 per request == greedy default rows
+        svc = make(0, per_request_sampling=True)
+        rid = svc.submit_embedding(embs[0], temperature=0.0)
+        svc.drain()
+        assert svc.pop_result(rid) == want[0]
+
+        # service-level sampled values == the same values per-request
+        svc_a = make(5, temperature=0.9, top_p=0.8)
+        ra = [svc_a.submit_embedding(e) for e in embs]
+        svc_a.drain()
+        svc_b = make(5, per_request_sampling=True)
+        rb = [svc_b.submit_embedding(e, temperature=0.9, top_p=0.8) for e in embs]
+        svc_b.drain()
+        assert [svc_a.pop_result(r) for r in ra] == [
+            svc_b.pop_result(r) for r in rb
+        ]
+
+    # greedy program never materializes logits → per-request sampling is a
+    # construction-time choice
+    svc = make(0)
+    with pytest.raises(ValueError, match="per_request_sampling"):
+        svc.submit_embedding(embs[0], temperature=1.0)
+    with pytest.raises(ValueError, match="top_p"):
+        svc.submit_embedding(embs[0], top_p=1.5)
