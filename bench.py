@@ -316,8 +316,12 @@ def main() -> None:
 
     model = C.ImageCaptioningModel(ccfg, tokenizer=_NullTokenizer(), policy=BF16)
     model.trainable, model.frozen = trainable, frozen  # share the bf16 copies
+    # seg=8/bursts=16 (128 tokens per dispatch): the tuned throughput point —
+    # 32-token macros can't amortize this box's ~24 ms dispatch roundtrip
+    # even under the depth-1 pipeline (scripts/continuous_tune_ab2.py:
+    # +14% bf16, +28% int8, and p95 latency IMPROVES)
     svc = ContinuousCaptionService(
-        model, vparams, vcfg, encoder="clip", slots=128, segment=4, bursts=8,
+        model, vparams, vcfg, encoder="clip", slots=128, segment=8, bursts=16,
         admit=32, max_length=max_len, decode_precision="bf16",
     )
     emb_np = np.random.default_rng(9).normal(size=(1024, 512)).astype(np.float32)

@@ -44,11 +44,20 @@ server.serve_forever()
 # sampled; see models/continuous.py and docs/PERF_NOTES.md for when this
 # beats fixed batches):
 #
-#   from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+#   from gpt2_image_captioning_tpu.serving import (
+#       ContinuousCaptionService, serve_http_continuous,
+#   )
 #   service = ContinuousCaptionService(
 #       model, vparams, vcfg, encoder="clip", slots=128, segment=4,
 #       bursts=8, max_length=50, decode_precision="bf16",
-#   )
+#       per_request_sampling=True,   # every request may carry its own
+#   )                                # temperature/top_p (0 = greedy)
 #   ids = [service.submit_array(img) for img in images]   # or submit_embedding
+#   ids += [service.submit_array(img, temperature=0.9, top_p=0.8)]
 #   service.drain()
 #   captions = [service.pop_result(i) for i in ids]
+#
+#   # or over HTTP — each request completes at its own length:
+#   server = serve_http_continuous(service, port=5152)
+#   # POST /caption?max_length=20&temperature=0.9&top_p=0.8
+#   server.serve_forever()

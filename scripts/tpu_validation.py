@@ -221,6 +221,27 @@ def main():
     if c_same < 8:
         failures.append(f"continuous agreement {c_same}/10")
 
+    # --- continuous with PER-REQUEST sampling params, compiled on TPU ------
+    # the mixed greedy+sampled pool (per-row temperature/top_p in the macro)
+    # must Mosaic-compile and keep greedy rows exactly greedy on-chip
+    log("continuous: per-request sampling (mixed greedy+sampled pool)...")
+    svc_s = ContinuousCaptionService(
+        cmodel, None, None, slots=4, segment=4, bursts=4, admit=4,
+        max_length=12, per_request_sampling=True, seed=3,
+    )
+    rids_g = [svc_s.submit_embedding(e) for e in cemb[:3]]
+    rids_s = [
+        svc_s.submit_embedding(e, temperature=1.0, top_p=0.9) for e in cemb[3:6]
+    ]
+    svc_s.drain()
+    got_g = [svc_s.pop_result(r) for r in rids_g]
+    got_s = [svc_s.pop_result(r) for r in rids_s]
+    g_same = sum(g == w for g, w in zip(got_g, want_caps[:3]))
+    log(f"   greedy rows == one-shot for {g_same}/3; sampled rows drew "
+        f"{sum(bool(s) for s in got_s)}/3 non-empty")
+    if g_same < 2:  # same near-tie caveat as above
+        failures.append(f"mixed-pool greedy agreement {g_same}/3")
+
     # --- last: Pallas flash attention, compiled on TPU ---------------------
 
     log("5/5 pallas flash attention vs XLA (compiled)...")
