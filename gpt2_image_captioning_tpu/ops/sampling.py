@@ -8,6 +8,8 @@ but expressed as fixed-shape XLA ops usable inside ``lax.while_loop``.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -34,7 +36,10 @@ def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
 
 
 def top_p_filter_bisect(
-    logits: jnp.ndarray, top_p: float | jnp.ndarray, iters: int = 32
+    logits: jnp.ndarray,
+    top_p: float | jnp.ndarray,
+    iters: int = 32,
+    ways: int = 2,
 ) -> jnp.ndarray:
     """Sort-free nucleus mask: the same kept set as :func:`top_p_filter`,
     computed by per-row bisection on the logit threshold.
@@ -52,12 +57,25 @@ def top_p_filter_bisect(
 
         keep t  ⟺  Σ_{t' : logit_{t'} > logit_t} p_{t'}  ≤  top_p
 
-    whose right side is a monotone step function of the logit value.  Bisect
-    the threshold τ = smallest logit value still kept: ``iters`` halvings of
-    [row_min−1, row_max] shrink the bracket below f32 spacing at the logits'
-    magnitude (range·2⁻³² ≪ |max|·2⁻²³), so the bracket isolates exactly one
-    representable logit and the mask is exact.  Each iteration is one masked
-    (B, V) sum — flat cost regardless of how flat the distribution is.
+    whose right side is a monotone step function of the logit value.  Search
+    for the threshold τ = smallest logit value still kept: shrinking the
+    bracket [row_min−1, row_max] by a total factor of 2^``iters`` takes it
+    below f32 spacing at the logits' magnitude (range·2⁻³² ≪ |max|·2⁻²³), so
+    the final bracket isolates exactly one representable logit and the mask
+    is exact.
+
+    ``ways`` controls the search arity: each pass tests ``ways − 1`` interior
+    thresholds at once and keeps the sub-interval containing τ, shrinking the
+    bracket ``ways``× per pass — so only ⌈iters / log2(ways)⌉ passes run.
+    **Measured REJECTION as a default** (scripts/sampled_decomp_ab.py,
+    docs/PERF_NOTES.md round 3): the hoped-for sibling-reduction fusion does
+    not happen — XLA lowers the ``ways − 1`` masked sums as separate probs
+    traversals, so 16-ary search moves ~4× MORE HBM than binary (isolated
+    tail 2.60 vs 1.84 ms incl. harness constant; full sampled decode 92.5 vs
+    78.9 ms/batch at b=128, identical tokens).  Binary bisection is already
+    near its floor; ``ways=2`` (the default) is the production path and the
+    multiway branch stays only for re-measurement.  Either way the cost per
+    pass is flat regardless of how flat the distribution is.
 
     Divergence from the sort path is confined to (a) tokens whose boundary
     mass lands within float-rounding of ``top_p`` (the two paths accumulate
@@ -72,20 +90,53 @@ def top_p_filter_bisect(
     hi = jnp.max(logits, axis=-1, keepdims=True)
     lo = jnp.min(logits, axis=-1, keepdims=True) - 1.0
 
-    def body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        # compare in prob space against the exponentiated threshold so each
-        # iteration streams only the probs array (half the HBM bytes of
-        # reading logits + probs); probs > exp(mid − lse) ⟺ logits > mid up
-        # to 1-ulp exp rounding at the bracket boundary, and the final mask
-        # below uses the logits directly
-        thr = jnp.exp(mid - lse)
-        mass_above = jnp.sum(jnp.where(probs > thr, probs, 0.0), axis=-1, keepdims=True)
-        keep_mid = mass_above <= top_p  # τ ≤ mid → tighten hi, else raise lo
-        return jnp.where(keep_mid, lo, mid), jnp.where(keep_mid, mid, hi)
+    if ways == 2:
+        # production path: one masked (B, V) sum per pass, where-based update
 
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            # compare in prob space against the exponentiated threshold so
+            # each iteration streams only the probs array (half the HBM bytes
+            # of reading logits + probs); probs > exp(mid − lse) ⟺
+            # logits > mid up to 1-ulp exp rounding at the bracket boundary,
+            # and the final mask below uses the logits directly
+            thr = jnp.exp(mid - lse)
+            mass_above = jnp.sum(
+                jnp.where(probs > thr, probs, 0.0), axis=-1, keepdims=True
+            )
+            keep_mid = mass_above <= top_p  # τ ≤ mid → tighten hi, else raise lo
+            return jnp.where(keep_mid, lo, mid), jnp.where(keep_mid, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    else:
+        # multiway branch, kept for re-measurement only (see docstring)
+        k = ways - 1  # interior thresholds per pass
+        passes = math.ceil(iters / math.log2(ways))
+        frac = (jnp.arange(1, k + 1, dtype=jnp.float32) / ways)[None, :]  # (1, k)
+
+        def body(_, carry):
+            lo, hi = carry
+            mids = lo + (hi - lo) * frac  # (B, k), ascending
+            thr = jnp.exp(mids - lse)  # (B, k)
+            mass_above = jnp.concatenate(
+                [
+                    jnp.sum(jnp.where(probs > thr[:, i : i + 1], probs, 0.0), axis=-1, keepdims=True)
+                    for i in range(k)
+                ],
+                axis=-1,
+            )  # (B, k); lowered as k separate probs traversals (why ways=2 wins)
+            # keep_i ⟺ τ ≤ mids_i; mass_above is non-increasing in the threshold
+            # so keep is monotone in i: τ lies in (pad[first_keep], pad[first_keep+1]]
+            nkeep = jnp.sum((mass_above <= top_p).astype(jnp.int32), axis=-1, keepdims=True)
+            first_keep = k - nkeep  # (B, 1) in [0, k]; k ⇒ no threshold kept
+            pad = jnp.concatenate([lo, mids, hi], axis=-1)  # (B, k+2)
+            return (
+                jnp.take_along_axis(pad, first_keep, axis=-1),
+                jnp.take_along_axis(pad, first_keep + 1, axis=-1),
+            )
+
+        lo, hi = jax.lax.fori_loop(0, passes, body, (lo, hi))
     # bracket isolates τ: kept tokens are exactly those with logit > lo.
     # The loop predicate lives in exp space (probs > exp(mid − lse)) while
     # this mask lives in logit space; at the bracket boundary the two can

@@ -99,6 +99,12 @@ def test_top_p_bisect_mask_matches_sort_oracle():
             want = np.asarray(top_p_filter(jnp.asarray(logits), p)) > -1e30
             got = np.asarray(top_p_filter_bisect(jnp.asarray(logits), p)) > -1e30
             np.testing.assert_array_equal(want, got, err_msg=f"p={p}")
+            # the multiway branch (measured-rejected as default, kept for
+            # re-measurement) must produce the identical mask
+            got16 = np.asarray(
+                top_p_filter_bisect(jnp.asarray(logits), p, ways=16)
+            ) > -1e30
+            np.testing.assert_array_equal(want, got16, err_msg=f"p={p} ways=16")
 
 
 def test_top_p_bisect_peaked_rows_never_empty_under_jit():
