@@ -19,10 +19,14 @@ dino.txt head (vision side): concat(CLS, mean(patch tokens)) → linear
 projection into the text-aligned space; the extractor L2-normalizes
 (reference ``src/embeddings/dino.py:173-176``).
 
-Numerical parity cannot be machine-verified here (the checkpoint is not
-redistributable and this environment has no egress), so tests cover shape /
-invariance properties and the port mapping is exercised against a
-structurally identical randomly-initialized torch module.
+Real-weight numerical parity cannot be machine-verified here (the checkpoint
+is not redistributable and this environment has no egress).  The translation
+itself IS machine-verified: an independent torch implementation of the same
+documented architecture agrees with this forward to f32 accumulation noise
+through the real port path (tests/test_vision_parity.py::
+test_dinov3_twin_numeric_parity), alongside shape/invariance tests; the
+asset-gated tier (tests/test_assets.py) validates against the published
+checkpoint the moment it lands.
 """
 
 from __future__ import annotations
