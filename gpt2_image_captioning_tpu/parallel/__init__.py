@@ -3,6 +3,13 @@ from gpt2_image_captioning_tpu.parallel.collectives import (  # noqa: F401
     pmean_scalar,
     psum_scalar,
 )
+from gpt2_image_captioning_tpu.parallel.pipeline import (  # noqa: F401
+    PIPE_AXIS,
+    create_pipeline_mesh,
+    make_pipeline_loss_and_grad,
+    make_pipeline_train_step,
+    pipeline_param_specs,
+)
 from gpt2_image_captioning_tpu.core.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
