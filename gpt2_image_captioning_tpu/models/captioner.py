@@ -209,6 +209,7 @@ def mean_loss(
     static_argnames=(
         "cfg", "max_length", "temperature", "top_p", "policy", "unroll_decode",
         "use_pallas_decode", "mesh", "decode_quant", "decode_quant_cache",
+        "sample_in_kernel",
     ),
 )
 def generate(
@@ -228,6 +229,7 @@ def generate(
     mesh=None,
     decode_quant: bool = False,
     decode_quant_cache: bool = False,
+    sample_in_kernel: bool = False,
 ) -> jnp.ndarray:
     """Autoregressive caption generation → token ids (B, max_length).
 
@@ -243,6 +245,15 @@ def generate(
     constrained to ``cache_partition_specs`` (batch over dp, model width over
     tp).  With tp > 1 the layerwise XLA path runs (GSPMD partitions it; the
     fused Pallas kernel is single-device).
+
+    ``sample_in_kernel`` — serving opt-in: temperature/top-p token selection
+    runs INSIDE the fused step kernel (speculative-accept nucleus sampling,
+    ops/decode_step.py) instead of the emit_logits → XLA tail.  Exact
+    nucleus semantics, but the noise is the TPU hardware PRNG — sampled
+    tokens differ stream-wise from the ``jax.random.categorical`` path, so
+    evaluation parity surfaces keep the default.  Requires top_p ≥ 0.5 (or
+    1.0) — smaller nuclei reject too many speculative candidates and belong
+    on the XLA bisection tail — plus the fused kernel, no mesh, no int8 KV.
     """
     gpt_params = _gpt(trainable, frozen)
     eos = cfg.eos_token_id
@@ -395,6 +406,86 @@ def generate(
             check_vma=False,
         )
         return fn(wte, wpe, packed, logits, cache_state0, cache["index"])
+
+    sk_ok = (
+        sample_in_kernel
+        and temperature != 0.0
+        and fused_enabled
+        and mesh is None
+        and not decode_quant_cache
+        and (top_p >= 0.5 or top_p >= 1.0)
+    )
+    if sample_in_kernel and not sk_ok and temperature != 0.0:
+        import warnings
+
+        warnings.warn(
+            "sample_in_kernel requested but unsupported here (needs the fused "
+            "kernel, no mesh, no int8 KV cache, top_p >= 0.5) — falling back "
+            "to the XLA sampling tail",
+            stacklevel=2,
+        )
+    if sk_ok:
+        # Serving path: token selection fused into the decode kernel
+        # (speculative-accept nucleus sampling — ops/decode_step.py sample
+        # mode).  The first token still samples from the prefill logits in
+        # XLA (the kernel only runs from step 1), with the same rng fold as
+        # the XLA tail path.
+        if packed is None:
+            packed = DS.pack_decode_weights(
+                gpt_params, policy.compute_dtype, quant=decode_quant,
+                tw=384 if b % 256 == 0 else DS.TILE_W,
+            )
+        wte, wpe = gpt_params["wte"], gpt_params["wpe"]
+        temps = jnp.full((b,), temperature, jnp.float32)
+        topps = jnp.full((b,), top_p, jnp.float32)
+        # independent per-step hardware-PRNG seeds derived from the caller's
+        # key (one threefry draw, outside the loop)
+        seeds = jax.lax.bitcast_convert_type(
+            jax.random.bits(
+                jax.random.fold_in(rng, max_length + 1), (max_length,), jnp.uint32
+            ),
+            jnp.int32,
+        )
+
+        nxt0 = sample_token(
+            logits.astype(jnp.float32), temperature=temperature, top_p=top_p,
+            rng=jax.random.fold_in(rng, 0),
+        )
+        finished0 = nxt0 == eos
+        toks0 = tokens0.at[:, 0].set(nxt0)
+
+        def sk_cond(state):
+            step, _, _, finished, _, _ = state
+            return jnp.logical_and(
+                step < max_length, jnp.logical_not(jnp.all(finished))
+            )
+
+        def sk_body(state):
+            step, tokens, prev, finished, cache_state, index = state
+            x0 = (
+                jnp.take(wte, prev, axis=0)
+                + jax.lax.dynamic_slice_in_dim(wpe, index, 1, 0)[0]
+            ).astype(policy.compute_dtype)
+            nxt, _, _, kc, vc = DS.fused_decode_step(
+                packed, x0, cache_state[0], cache_state[1], index,
+                n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+                eps=cfg.gpt2.layer_norm_epsilon,
+                sample={"temp": temps, "top_p": topps, "seed": seeds[step]},
+            )
+            finished = jnp.logical_or(finished, nxt == eos)
+            nxt = jnp.where(finished, eos, nxt)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
+            return step + 1, tokens, nxt, finished, (kc, vc), index + 1
+
+        _, tokens, _, _, _, _ = jax.lax.while_loop(
+            sk_cond,
+            sk_body,
+            (
+                jnp.ones((), jnp.int32), toks0, nxt0, finished0,
+                (cache["k"], cache["v"]), cache["index"],
+            ),
+        )
+        return tokens
 
     if temperature != 0.0 and fused_enabled and mesh is None:
         # Sampled decode on the same one-kernel-per-step serving path: the

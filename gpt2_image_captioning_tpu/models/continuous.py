@@ -74,7 +74,7 @@ def init_state(cfg: CaptionerConfig, slots: int, t_max: int, prefix_len: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "policy", "seg", "bursts", "admit", "temperature",
-                     "top_p", "sampled"),
+                     "top_p", "sampled", "sample_in_kernel"),
     donate_argnums=(3,),
 )
 def macro_step(
@@ -98,6 +98,7 @@ def macro_step(
     temperature: float = 0.0,
     top_p: float = 1.0,
     sampled: bool | None = None,
+    sample_in_kernel: bool = False,
 ) -> tuple[dict, jnp.ndarray]:
     """``bursts*seg`` fused decode steps with admission every ``seg``-th
     step, compiled as ONE program (a single flat ``lax.scan``).
@@ -135,6 +136,17 @@ def macro_step(
     ``state["t"]`` (decode steps use ``2t``, the burst's admission point
     ``2t+1``), so every draw across macros is fresh and a fixed ``(rng,
     submission order)`` replays exactly.
+
+    ``sample_in_kernel=True`` moves the per-step token draw INSIDE the fused
+    kernel (speculative-accept nucleus sampling, ops/decode_step.py): the
+    (S, V) logits never leave the chip and the XLA bisect/categorical tail
+    disappears.  Per-row temperature/top_p semantics are identical (temp 0
+    rows take the argmax in-kernel); the noise stream is the TPU hardware
+    PRNG seeded from the same folded key, so draws stay reproducible for a
+    fixed ``(rng, submission order)`` but differ stream-wise from the XLA
+    path.  Callers should keep per-request ``top_p`` ≥ 0.5 (the service
+    validates): smaller nuclei make speculative accept retry often.  The
+    admission-point first token keeps the XLA draw (one per request).
     """
     if sampled is None:
         sampled = temperature != 0.0
@@ -306,6 +318,26 @@ def macro_step(
                     packed, x0, k, v, idx,
                     n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
                     eps=cfg.gpt2.layer_norm_epsilon, start=start,
+                )
+            elif sample_in_kernel:
+                # token draw fused into the kernel; dead rows carry temp 0
+                # (pure argmax — no candidate machinery wasted on them) and
+                # the hardware-PRNG seed derives from the same folded key
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(
+                        jax.random.fold_in(rng, tstep * 2), (), jnp.uint32
+                    ),
+                    jnp.int32,
+                )
+                tok, _, _, k, v = DS.fused_decode_step(
+                    packed, x0, k, v, idx,
+                    n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+                    eps=cfg.gpt2.layer_norm_epsilon, start=start,
+                    sample={
+                        "temp": jnp.where(live, temp, 0.0),
+                        "top_p": topp,
+                        "seed": seed,
+                    },
                 )
             else:
                 lg, k, v = DS.fused_decode_step(

@@ -2,10 +2,12 @@
 
 Modes: greedy (in-kernel streamed argmax — the default serving path),
 ``emit_logits`` (full logits streamed to HBM for top-p sampling / beam
-search), int8 W8A8 weights (``pack_decode_weights(quant=True)``), optional
-int8 KV cache, and 128/256-row batch blocks (wide blocks need the narrow
-tw=384 weight packing for VMEM).  Measured trade-offs in
-docs/PERF_NOTES.md.
+search), ``sample`` (in-kernel temperature/top-p token draw by speculative-
+accept nucleus sampling — per-row params, hardware PRNG, the logits never
+leave the chip), beam ``topk``/ancestry modes, int8 W8A8 weights
+(``pack_decode_weights(quant=True)``), optional int8 KV cache, and
+128/256-row batch blocks (wide blocks need the narrow tw=384 weight packing
+for VMEM).  Measured trade-offs in docs/PERF_NOTES.md.
 
 Round-2 on-chip measurements (docs/PERF_NOTES.md) showed each ``pallas_call``
 carries ~100 µs fixed overhead on this backend, so per-op kernels can never
@@ -103,8 +105,9 @@ def _beam_gather(x3: jnp.ndarray, delta: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _step_kernel(
-    # scalar prefetch: [idx, c0] — c0 = first attention chunk with any live
-    # row (continuous batching skips chunks older than every row's start)
+    # scalar prefetch: [idx, c0, seed] — c0 = first attention chunk with any
+    # live row (continuous batching skips chunks older than every row's
+    # start); seed feeds the hardware PRNG (sample mode only, else 0)
     idx_ref,
     # VMEM inputs
     x_ref,          # (BB, D) compute dtype — wte[token] + wpe[local position]
@@ -116,6 +119,9 @@ def _step_kernel(
     # rest (order fixed by fused_decode_step's in_specs):
     #   [qkvs, projs, fcs, cprojs, wtes]  — (quant mode only) per-output-
     #       column dequant scales, tiled like the biases / (NT_v, 1, VW)
+    #   [temp, topp] — (sample mode only) (BB, 1) f32 per-row temperature
+    #       and nucleus mass; outputs then [tok, round, lse] (BB, 1) each,
+    #       with 3·cand_k small VMEM scratch bufs after the semaphores
     #   [origin] — (beam mode only) (Tpad/CT, CT, B) int32 ancestry map:
     #       attention over position c*CT+t for decode row r reads cache row
     #       origin[c, t, r].  Chunk-major 3D so the per-chunk DMA slices
@@ -145,6 +151,9 @@ def _step_kernel(
     cache_quant: bool,
     beam_k: int,
     topk: int,
+    sample: bool,
+    cand_k: int,
+    rounds: int,
 ):
     it = iter(rest)
     qkvs_ref = projs_ref = fcs_ref = cprojs_ref = wtes_ref = None
@@ -152,6 +161,9 @@ def _step_kernel(
         qkvs_ref, projs_ref, fcs_ref, cprojs_ref, wtes_ref = (
             next(it), next(it), next(it), next(it), next(it)
         )
+    temp_ref = topp_ref = None
+    if sample:
+        temp_ref, topp_ref = next(it), next(it)
     origin_ref = next(it) if beam_k else None
     lnf_ref, hs_ref, he_ref = next(it), next(it), next(it)
     qkvw_ref, projw_ref, fcw_ref, cprojw_ref, wtet_ref = (
@@ -161,8 +173,12 @@ def _step_kernel(
     ks_in = vs_in = None
     if cache_quant:
         ks_in, vs_in = next(it), next(it)
+    rnd_ref = None
     if topk:
         tok_ref, tki_ref, lse_ref = next(it), next(it), next(it)
+    elif sample:
+        tok_ref, rnd_ref, lse_ref = next(it), next(it), next(it)
+        tki_ref = None
     else:
         tok_ref, tki_ref, lse_ref = next(it), None, None
     kc_ref, vc_ref = next(it), next(it)
@@ -175,6 +191,11 @@ def _step_kernel(
     wsem, vwsem, ksem, vsem, wrsem, lsem = (
         next(it), next(it), next(it), next(it), next(it), next(it)
     )
+    massb = fcolb = flogb = None
+    if sample:
+        massb = [next(it) for _ in range(cand_k)]
+        fcolb = [next(it) for _ in range(cand_k)]
+        flogb = [next(it) for _ in range(cand_k)]
     obuf = osem = None
     if beam_k:
         obuf, osem = next(it), next(it)
@@ -544,6 +565,170 @@ def _step_kernel(
         for dma in out_dmas:
             if dma is not None:
                 dma.wait()
+    elif sample:
+        # In-kernel nucleus (top-p) sampling by SPECULATIVE ACCEPT instead of
+        # a threshold search: the vocab walk draws ``cand_k`` independent
+        # Gumbel-max candidates from the full temperature-scaled softmax (the
+        # per-element noise rides the walk the logits matmul already does)
+        # while tracking the row max/argmax and an online logsumexp.  Token t
+        # is in the nucleus iff the mass STRICTLY above its logit is ≤ top_p
+        # (exactly ops/sampling.py's per-token rule — no bisection float-
+        # boundary cases), and a candidate drawn from the full softmax,
+        # accepted iff it passes that test, is an EXACT draw from the
+        # renormalized nucleus (rejection sampling).  Each membership test is
+        # one masked sum, so a verification round re-streams only the vocab
+        # tiles (the weights are hot in HBM; ~77 MB bf16 ≈ 0.1 ms) and tests
+        # all ``cand_k`` candidates at once, drawing fresh candidates for the
+        # (rare) unresolved rows.  P(row unresolved per round) ≤ (1−top_p)^k
+        # — at the serving default top_p=0.9, k=4 that is 1e-4, so round 2
+        # runs on ~1% of steps at b=128.  After ``rounds`` failed rounds a
+        # row takes its last candidate unconditionally: a documented residual
+        # bias ≤ (1−top_p)^(k·rounds) ≤ 2⁻²⁴ at top_p ≥ 0.5 (callers gate
+        # smaller top_p to the XLA tail, where bisection is the right tool).
+        # Rows with temperature == 0 take the running argmax of the raw
+        # logits (the reference's greedy dispatch), per row — mixed
+        # greedy/sampled pools (continuous batching) ride one kernel.
+        pltpu.prng_seed(idx_ref[2], bi)
+        temp = temp_ref[...]  # (BB, 1) f32 per-row temperature (0 ⇒ greedy)
+        topp = topp_ref[...]  # (BB, 1) f32 per-row nucleus mass
+        tinv = jnp.where(temp > 0.0, 1.0 / jnp.where(temp > 0.0, temp, 1.0), 1.0)
+        ninf = float("-inf")
+        big = jnp.int32(2**30)
+
+        def gumbel():
+            # 23 uniform bits → (0, 1) → standard Gumbel.  Masking the int32
+            # bits keeps everything in natively-supported 32-bit int ops.
+            bits = pltpu.prng_random_bits((bb, vw))
+            u = (bits & jnp.int32(0x007FFFFF)).astype(jnp.float32) * (
+                2.0**-23
+            ) + (2.0**-24)
+            return -jnp.log(-jnp.log(u))
+
+        def track(cand, lq, col, cv, cc, cl):
+            """Running argmax of the perturbed logits ``cand`` with the
+            winner's column and UNPERTURBED logit (the membership threshold).
+            """
+            bm = jnp.max(cand, axis=1, keepdims=True)
+            bidx = jnp.min(jnp.where(cand == bm, col, big), axis=1, keepdims=True)
+            blog = jnp.sum(jnp.where(col == bidx, lq, 0.0), axis=1, keepdims=True)
+            upd = bm > cv
+            return (
+                jnp.where(upd, bm, cv),
+                jnp.where(upd, bidx, cc),
+                jnp.where(upd, blog, cl),
+            )
+
+        cv = [jnp.full((bb, 1), ninf, jnp.float32) for _ in range(cand_k)]
+        cc = [jnp.zeros((bb, 1), jnp.int32) for _ in range(cand_k)]
+        cl = [jnp.full((bb, 1), ninf, jnp.float32) for _ in range(cand_k)]
+        run_max = jnp.full((bb, 1), ninf, jnp.float32)
+        run_idx = jnp.zeros((bb, 1), jnp.int32)
+        m = jnp.full((bb, 1), ninf, jnp.float32)
+        ssum = jnp.zeros((bb, 1), jnp.float32)
+        for t in range(nv):
+            if t + 1 < nv:
+                vdma((t + 1) % 2, t + 1).start()
+            vdma(t % 2, t).wait()
+            raw = vtile(t % 2, t)
+            col = t * vw + jax.lax.broadcasted_iota(jnp.int32, (bb, vw), 1)
+            lq = jnp.where(col < vocab, raw * tinv, ninf)
+            bm = jnp.max(lq, axis=1, keepdims=True)
+            bidx = jnp.min(jnp.where(lq == bm, col, big), axis=1, keepdims=True)
+            upd = bm > run_max
+            run_max = jnp.where(upd, bm, run_max)
+            run_idx = jnp.where(upd, bidx, run_idx)
+            m_new = jnp.maximum(m, bm)
+            ssum = ssum * jnp.exp(m - m_new) + jnp.sum(
+                jnp.exp(lq - m_new), axis=1, keepdims=True
+            )
+            m = m_new
+            for k in range(cand_k):
+                cv[k], cc[k], cl[k] = track(
+                    lq + gumbel(), lq, col, cv[k], cc[k], cl[k]
+                )
+        lse = m + jnp.log(ssum)
+
+        def rdma(slot, t):
+            return pltpu.make_async_copy(
+                wtet_ref.at[t], vwbuf.at[slot], vwsem.at[slot]
+            )
+
+        unres = temp > 0.0  # greedy rows resolve to the raw argmax upfront
+        chosen = run_idx
+        rnd = jnp.zeros((bb, 1), jnp.int32)
+        for r in range(1, rounds + 1):
+            cnt = jnp.sum(jnp.where(unres, 1, 0).astype(jnp.int32))
+
+            @pl.when(cnt > 0)
+            def _(cl=cl):
+                # one vocab re-stream: membership masses for the current
+                # candidates + fresh candidates for a possible next round
+                def rbody(t, carry):
+                    ms, fv, fc, fl = carry
+                    slot = jax.lax.rem(t, 2)
+
+                    @pl.when(t + 1 < nv)
+                    def _():
+                        rdma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+                    rdma(slot, t).wait()
+                    raw = vtile(slot, t)
+                    col = t * vw + jax.lax.broadcasted_iota(
+                        jnp.int32, (bb, vw), 1
+                    )
+                    lq = jnp.where(col < vocab, raw * tinv, ninf)
+                    ex = jnp.exp(lq - lse)
+                    ms = tuple(
+                        ms[k]
+                        + jnp.sum(
+                            jnp.where(lq > cl[k], ex, 0.0), axis=1, keepdims=True
+                        )
+                        for k in range(cand_k)
+                    )
+                    new = [
+                        track(lq + gumbel(), lq, col, fv[k], fc[k], fl[k])
+                        for k in range(cand_k)
+                    ]
+                    return (
+                        ms,
+                        tuple(n[0] for n in new),
+                        tuple(n[1] for n in new),
+                        tuple(n[2] for n in new),
+                    )
+
+                rdma(0, 0).start()
+                init = (
+                    tuple(jnp.zeros((bb, 1), jnp.float32) for _ in range(cand_k)),
+                    tuple(
+                        jnp.full((bb, 1), ninf, jnp.float32) for _ in range(cand_k)
+                    ),
+                    tuple(jnp.zeros((bb, 1), jnp.int32) for _ in range(cand_k)),
+                    tuple(
+                        jnp.full((bb, 1), ninf, jnp.float32) for _ in range(cand_k)
+                    ),
+                )
+                ms, _, fc, fl = jax.lax.fori_loop(0, nv, rbody, init)
+                for k in range(cand_k):
+                    massb[k][...] = ms[k]
+                    fcolb[k][...] = fc[k]
+                    flogb[k][...] = fl[k]
+
+            # resolve: first accepted candidate wins (candidate order
+            # preserves the iid-draw sequence, so accept-first is exact)
+            for k in range(cand_k):
+                take = unres & (massb[k][...] <= topp)
+                chosen = jnp.where(take, cc[k], chosen)
+                rnd = jnp.where(take, r, rnd)
+                unres = unres & jnp.logical_not(take)
+            # stale reads when the round was skipped are harmless: skipped ⇒
+            # no row unresolved ⇒ every ``take``/forced path is masked off
+            cc = [fcolb[k][...] for k in range(cand_k)]
+            cl = [flogb[k][...] for k in range(cand_k)]
+        chosen = jnp.where(unres, cc[0], chosen)
+        rnd = jnp.where(unres, rounds + 1, rnd)
+        tok_ref[...] = chosen
+        rnd_ref[...] = rnd
+        lse_ref[...] = lse
     else:
         run_max = jnp.full((bb, 1), NEG_INF, jnp.float32)
         run_idx = jnp.zeros((bb, 1), jnp.int32)
@@ -724,6 +909,9 @@ def fused_decode_step(
     beam_k: int = 0,
     topk: int = 0,
     start: jnp.ndarray | None = None,
+    sample: dict | None = None,
+    sample_k: int = 4,
+    sample_rounds: int = 6,
 ) -> tuple[jnp.ndarray, ...]:
     """One fused decode step.
 
@@ -764,6 +952,16 @@ def fused_decode_step(
     and sets that row's start, so every row appends at the same ``idx``
     while attending only to its own window ``[start_r, idx)``.  The chunk
     walk starts at ``min(start) // ct`` (dead history is never read).
+
+    Sample mode (``sample={"temp": (B,) f32, "top_p": (B,) f32, "seed":
+    scalar int32}``): in-kernel temperature/top-p sampling by speculative
+    accept (see the kernel comment) — returns ``(token (B,) int32,
+    resolve_round (B,) int32, logsumexp (B, 1) f32, k_cache', v_cache')``.
+    Per-row ``temp == 0`` rows take the raw-logit argmax (the reference's
+    greedy dispatch).  Exact nucleus semantics up to a residual bias
+    ≤ (1−top_p)^(sample_k·sample_rounds); callers should route top_p < 0.5
+    to the XLA tail.  The noise is the TPU hardware PRNG — a different
+    stream than ``jax.random.categorical``, identical distribution.
     """
     from gpt2_image_captioning_tpu.ops.decode_attention import _head_sum_matrix
 
@@ -780,6 +978,11 @@ def fused_decode_step(
         origin = origin.astype(jnp.int32)
     assert not (topk and emit_logits), "topk and emit_logits are exclusive"
     assert not (topk and cache_quant), "beam top-k mode has no int8-cache variant"
+    do_sample = sample is not None
+    if do_sample:
+        assert not (topk or emit_logits or beam_k or cache_quant), (
+            "sample mode is exclusive with topk/emit_logits/beam/int8-cache"
+        )
     tw = packed["qkvw"].shape[3]
     vw = packed["wtet"].shape[2]
     # Batch blocking: each grid program streams ALL weights, so weight
@@ -812,10 +1015,20 @@ def fused_decode_step(
     else:
         startv = start.astype(jnp.int32)
         c0 = jnp.min(startv) // ct
+    if do_sample:
+        # padded rows: temp 0 (greedy, resolves immediately), top_p 1
+        tempv = sample["temp"].astype(jnp.float32).reshape(b, 1)
+        toppv = sample["top_p"].astype(jnp.float32).reshape(b, 1)
+        seed = jnp.asarray(sample["seed"], jnp.int32).reshape(())
+    else:
+        seed = jnp.zeros((), jnp.int32)
     pad_b = (-b) % bb
     if pad_b:
         x0 = jnp.pad(x0, ((0, pad_b), (0, 0)))
         startv = jnp.pad(startv, (0, pad_b))
+        if do_sample:
+            tempv = jnp.pad(tempv, ((0, pad_b), (0, 0)))
+            toppv = jnp.pad(toppv, ((0, pad_b), (0, 0)), constant_values=1.0)
         k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad_b), (0, 0)))
         if cache_quant:
@@ -853,6 +1066,9 @@ def fused_decode_step(
         cache_quant=cache_quant,
         beam_k=beam_k,
         topk=topk,
+        sample=do_sample,
+        cand_k=sample_k,
+        rounds=sample_rounds,
     )
     nv = packed["wtet"].shape[0]
 
@@ -888,6 +1104,14 @@ def fused_decode_step(
             vm(packed["cprojb"].shape),
             *scale_specs,
             *(
+                [
+                    pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
+                ]
+                if do_sample
+                else []
+            ),
+            *(
                 # origin map, DMA-chunked.  Explicitly HBM: it is small
                 # enough that ANY placed it in VMEM, where (ct, bb) chunk
                 # slices with ct < 8 violate the (8, 128) int32 tiling —
@@ -920,6 +1144,10 @@ def fused_decode_step(
                     pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM),
                 ]
                 if topk
+                else [
+                    pl.BlockSpec((bb, 1), lambda bi, s: (bi, 0), memory_space=pltpu.VMEM)
+                ] * 3
+                if do_sample
                 else [
                     pl.BlockSpec(memory_space=pl.ANY)
                     if emit_logits
@@ -954,6 +1182,15 @@ def fused_decode_step(
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             *(
+                # sample mode: per-candidate round results (masses + fresh
+                # candidate columns/logits) crossing the pl.when boundary
+                [pltpu.VMEM((bb, 1), jnp.float32)] * sample_k
+                + [pltpu.VMEM((bb, 1), jnp.int32)] * sample_k
+                + [pltpu.VMEM((bb, 1), jnp.float32)] * sample_k
+                if do_sample
+                else []
+            ),
+            *(
                 [
                     pltpu.VMEM((2, ct, bb), jnp.int32),  # origin chunks
                     pltpu.SemaphoreType.DMA((2,)),
@@ -976,13 +1213,19 @@ def fused_decode_step(
         ],
     )
     # caches (+ cache scales) are the last inputs; head outputs come first
-    n_in = 19 + len(scale_args) + (1 if beam_k else 0)
-    n_head_out = 3 if topk else 1
+    n_in = 19 + len(scale_args) + (1 if beam_k else 0) + (2 if do_sample else 0)
+    n_head_out = 3 if (topk or do_sample) else 1
     aliases = {n_in: n_head_out, n_in + 1: n_head_out + 1}
     if topk:
         head_shapes = [
             jax.ShapeDtypeStruct((bp, topk), jnp.float32),
             jax.ShapeDtypeStruct((bp, topk), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        ]
+    elif do_sample:
+        head_shapes = [
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
             jax.ShapeDtypeStruct((bp, 1), jnp.float32),
         ]
     elif emit_logits:
@@ -1002,6 +1245,16 @@ def fused_decode_step(
             jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
         ]
         cache_args += [k_scale, v_scale]
+    extra = {}
+    if do_sample:
+        # the 3·sample_k per-candidate scratch bufs lane-pad to (bb, 128)
+        # f32 (~1.6 MB at bb=256) — the greedy 256-row config already sits
+        # ~0.4 MB under the default 16 MB scoped-VMEM watermark, so sample
+        # mode raises it (v5e physical VMEM is far larger; this is only the
+        # compiler's budget)
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1009,15 +1262,17 @@ def fused_decode_step(
         # caches update in place (indices count the scalar-prefetch operand)
         input_output_aliases=aliases,
         interpret=interpret,
+        **extra,
     )(
         jnp.stack(
-            [jnp.asarray(idx, jnp.int32).reshape(()), c0.astype(jnp.int32)]
+            [jnp.asarray(idx, jnp.int32).reshape(()), c0.astype(jnp.int32), seed]
         ),
         x0,
         startv[None, :],
         packed["ln1s"], packed["ln1b"], packed["ln2s"], packed["ln2b"],
         packed["attnb"], packed["projb"], packed["fcb"], packed["cprojb"],
         *scale_args,
+        *([tempv, toppv] if do_sample else []),
         *([origin] if beam_k else []),
         packed["lnf"], hs, he,
         packed["qkvw"], packed["projw"], packed["fcw"], packed["cprojw"],
@@ -1030,6 +1285,8 @@ def fused_decode_step(
         vc = vc[:, :, :b]
     if topk:
         head = (outs[0][:b], outs[1][:b], outs[2][:b])
+    elif do_sample:
+        head = (outs[0][:b, 0], outs[1][:b, 0], outs[2][:b])
     elif emit_logits:
         # (NT_v, BP, VW) tiles → (B, vocab); padded cols hold NEG_INF anyway
         head = jnp.moveaxis(outs[0], 0, 1).reshape(bp, nv * vw)[:b, :vocab]
@@ -1041,6 +1298,6 @@ def fused_decode_step(
             ks = ks[:, :, :b]
             vs = vs[:, :, :b]
         return head, kc, vc, ks, vs
-    if topk:
-        return (*head, kc, vc)  # vals, idxs, lse, kc, vc
+    if topk or do_sample:
+        return (*head, kc, vc)  # (vals, idxs, lse | tok, round, lse), kc, vc
     return head, kc, vc

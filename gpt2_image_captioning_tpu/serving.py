@@ -293,6 +293,7 @@ class ContinuousCaptionService:
         temperature: float = 0.0,
         top_p: float = 0.9,
         per_request_sampling: bool = False,
+        sample_in_kernel: bool = False,
         seed: int = 0,
         spec=None,
     ):
@@ -323,6 +324,15 @@ class ContinuousCaptionService:
         # opts a greedy-default service into that program (slightly more
         # device work per step than the pure in-kernel-argmax program).
         self.sampled = bool(per_request_sampling) or temperature != 0.0
+        # sample_in_kernel: the sampled macro draws tokens INSIDE the fused
+        # kernel (speculative-accept nucleus sampling) — the (S, V) logits
+        # never leave the chip.  Requires per-request top_p >= 0.5 (validated
+        # at submit): smaller nuclei retry speculative candidates too often.
+        self.sample_in_kernel = bool(sample_in_kernel) and self.sampled
+        if self.sample_in_kernel and self.top_p < 0.5:
+            raise ValueError(
+                f"sample_in_kernel needs top_p >= 0.5, got {self.top_p}"
+            )
         self._rng = None if not self.sampled else jax.random.PRNGKey(seed)
         self._packed = C.prepare_decode_weights(
             tr, fz, cfg, pol, quant=quant, tw=384 if slots % 256 == 0 else None
@@ -397,6 +407,11 @@ class ContinuousCaptionService:
                 raise ValueError(f"temperature must be >= 0, got {temperature}")
         if top_p is not None and not 0.0 < top_p <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        if top_p is not None and self.sample_in_kernel and top_p < 0.5:
+            raise ValueError(
+                f"this service draws tokens in-kernel (sample_in_kernel=True), "
+                f"which needs per-request top_p >= 0.5; got {top_p}"
+            )
         rid = self._next_id
         self._next_id += 1
         self._queue.append((rid, payload, is_emb))
@@ -549,7 +564,7 @@ class ContinuousCaptionService:
             cfg=self.cfg, policy=self._pol, seg=self.segment,
             bursts=self.bursts, admit=self.admit,
             temperature=self.temperature, top_p=self.top_p,
-            sampled=self.sampled,
+            sampled=self.sampled, sample_in_kernel=self.sample_in_kernel,
         )
         self._inflight = (out, entries)
         self._stats["macros"] += 1

@@ -1,0 +1,252 @@
+"""On-chip validation + A/B: in-kernel nucleus sampling (decode_step sample
+mode) vs the emit_logits -> XLA sampling tail.
+
+The TPU interpreter stubs ``prng_random_bits`` to zeros, so the stochastic
+properties can only be proven here, on real hardware:
+
+  1. Mosaic lowering + determinism (same seed => identical tokens).
+  2. Exactness: every sampled token is IN the oracle nucleus (the mass-
+     strictly-above rule on the same logits), over many draws on a fixed
+     decode state; resolve-round histogram (expect ~all round 1 at p=0.9).
+  3. Distribution: total-variation distance between empirical frequencies
+     and the renormalized-nucleus probabilities on a fixed state.
+  4. Throughput A/B at the flagship shapes (b=128/256, bf16 + int8 W8A8),
+     and the continuous-serving macro engine with sample_in_kernel.
+
+Run DETACHED alone on the real chip:
+  cd /root/repo && setsid nohup python -u scripts/kernel_sample_ab.py \
+      > /tmp/kernel_sample_ab.log 2>&1 < /dev/null & disown
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def timed(fn, reps=8, warm=2):
+    for _ in range(warm):
+        np.asarray(fn())
+    t0 = time.perf_counter()
+    outs = [fn() for _ in range(reps)]
+    for o in outs:
+        np.asarray(o)
+    return (time.perf_counter() - t0) / reps * 1000
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gpt2_image_captioning_tpu.core.precision import BF16
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+    assert jax.default_backend() != "cpu", "run on the TPU"
+    policy = BF16
+    gcfg = G.GPT2Config.gpt2_124m()
+    mcfg = M.TransformerMappingConfig(
+        embed_dim=512, gpt_dim=768, prefix_length=15, hidden_length=10
+    )
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=50256)
+    log("init 124M params (bf16)...")
+    trainable, frozen = C.init_params(jax.random.PRNGKey(0), ccfg)
+    trainable = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
+    frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
+    params = frozen["gpt"]
+    b = 128
+    rng = np.random.default_rng(1)
+    prefix = jnp.asarray(rng.normal(size=(b, 20, 768)), jnp.bfloat16)
+
+    # fixed decode state: prefill once, keep (cache, x0) constant so every
+    # sample-mode call draws from the SAME per-row distribution
+    @jax.jit
+    def make_state(params, prefix):
+        cache = G.init_cache(gcfg, b, 70, dtype=jnp.bfloat16)
+        logits0, cache = G.forward_cached(
+            params, gcfg, prefix, cache, BF16, fresh_prefill=True
+        )
+        tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        x0 = (
+            jnp.take(params["wte"], tok, axis=0) + params["wpe"][cache["index"]]
+        ).astype(jnp.bfloat16)
+        packed = DS.pack_decode_weights(params, jnp.bfloat16)
+        logits, _, _ = DS.fused_decode_step(
+            packed, x0, cache["k"], cache["v"], cache["index"],
+            n_head=12, vocab=gcfg.vocab_size, emit_logits=True,
+        )
+        return packed, x0, cache["k"], cache["v"], cache["index"], logits
+
+    packed, x0, kc, vc, idx, logits = make_state(params, prefix)
+    logits = np.asarray(logits, np.float32)
+
+    @jax.jit
+    def draw(seed, temp, topp):
+        tok, rnd, lse, _, _ = DS.fused_decode_step(
+            packed, x0, kc, vc, idx, n_head=12, vocab=gcfg.vocab_size,
+            sample={
+                "temp": jnp.full((b,), temp, jnp.float32),
+                "top_p": jnp.full((b,), topp, jnp.float32),
+                "seed": seed,
+            },
+        )
+        return tok, rnd, lse
+
+    def oracle(temp, topp):
+        """Exact nucleus mask + probs per row: keep t iff the mass of
+        STRICTLY greater scaled logits is <= top_p (tie classes whole)."""
+        lw = (logits.astype(np.float64) * (1.0 / temp if temp > 0 else 1.0))
+        pz = np.exp(lw - lw.max(-1, keepdims=True))
+        pz /= pz.sum(-1, keepdims=True)
+        nucleus = np.zeros_like(pz, bool)
+        for r in range(b):
+            order = np.argsort(-lw[r], kind="stable")
+            v = lw[r][order]
+            c = np.concatenate([[0.0], np.cumsum(pz[r][order])[:-1]])
+            # strict-above mass of value x = c at the FIRST index of x's class
+            first = np.searchsorted(-v, -lw[r], side="left")
+            nucleus[r] = c[first] <= topp
+        return lw, pz, nucleus
+
+    log("1/4 lowering + determinism...")
+    t1, r1, lse1 = map(np.asarray, draw(jnp.int32(123), 1.0, 0.9))
+    t2, r2, _ = map(np.asarray, draw(jnp.int32(123), 1.0, 0.9))
+    t3, _, _ = map(np.asarray, draw(jnp.int32(124), 1.0, 0.9))
+    assert np.array_equal(t1, t2), "same seed must replay identically"
+    diff_seeds = (t1 != t3).mean()
+    log(f"   deterministic; fraction differing across seeds: {diff_seeds:.3f}")
+    assert diff_seeds > 0.5, "different seeds should draw different tokens"
+
+    lw, pz, nucleus = oracle(1.0, 0.9)
+    want_lse = np.log(np.exp(lw - lw.max(-1, keepdims=True)).sum(-1)) + lw.max(-1)
+    np.testing.assert_allclose(want_lse, np.asarray(lse1)[:, 0], atol=2e-2, rtol=1e-4)
+    log(f"   lse matches XLA logsumexp (nucleus sizes: "
+        f"min {nucleus.sum(-1).min()}, med {int(np.median(nucleus.sum(-1)))}, "
+        f"max {nucleus.sum(-1).max()})")
+
+    log("2/4 membership + distribution over many draws...")
+    NDRAW = 400
+    toks = np.zeros((NDRAW, b), np.int32)
+    rnds = np.zeros((NDRAW, b), np.int32)
+    for i in range(NDRAW):
+        t, r, _ = draw(jnp.int32(1000 + i), 1.0, 0.9)
+        toks[i], rnds[i] = np.asarray(t), np.asarray(r)
+    # random-init logits are near-flat (the adversarial case: huge nuclei,
+    # worst speculative-accept odds) — membership must still be exact
+    in_nuc = nucleus[np.arange(b)[None, :], toks].mean()
+    log(f"   flat case: membership rate {in_nuc:.6f}, rounds histogram "
+        f"{np.bincount(rnds.ravel()).tolist()}")
+    assert in_nuc == 1.0, f"sampled token outside the nucleus ({in_nuc})"
+
+    # sharp case (temperature 0.05): tiny nuclei — meaningful frequency test
+    lw_s, pz_s, nuc_s = oracle(0.05, 0.9)
+    toks_s = np.zeros((NDRAW, b), np.int32)
+    rnds_s = np.zeros((NDRAW, b), np.int32)
+    for i in range(NDRAW):
+        t, r, _ = draw(jnp.int32(5000 + i), 0.05, 0.9)
+        toks_s[i], rnds_s[i] = np.asarray(t), np.asarray(r)
+    in_nuc_s = nuc_s[np.arange(b)[None, :], toks_s].mean()
+    sizes = nuc_s.sum(-1)
+    log(f"   sharp case: membership rate {in_nuc_s:.6f}, nucleus sizes "
+        f"min {sizes.min()}/med {int(np.median(sizes))}/max {sizes.max()}, "
+        f"rounds histogram {np.bincount(rnds_s.ravel()).tolist()}")
+    assert in_nuc_s == 1.0, f"sampled token outside the nucleus ({in_nuc_s})"
+    # per-row TV between empirical frequencies and the renormalized nucleus,
+    # averaged over rows with nucleus size in [2, 32]
+    tvs = []
+    for r in range(b):
+        cols = np.where(nuc_s[r])[0]
+        if not 2 <= len(cols) <= 32:
+            continue
+        want = pz_s[r, cols] / pz_s[r, cols].sum()
+        got = np.array([(toks_s[:, r] == c).mean() for c in cols])
+        tvs.append(0.5 * np.abs(want - got).sum())
+    tv = float(np.mean(tvs))
+    # TV of an N-sample empirical vs a k<=32-outcome distribution
+    # concentrates around sqrt(k/(2*pi*N)) ~ 0.11; the mean over many rows
+    # concentrates much tighter
+    log(f"   mean TV over {len(tvs)} small-nucleus rows: {tv:.4f}")
+    assert tv < 0.15, tv
+
+    log("3/4 generate() A/B (T=1.0, top_p=0.9, len 50)...")
+    emb = jnp.asarray(rng.normal(size=(b, 512)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    def run(sk, quant=False, bb=b, e=None):
+        return C.generate(
+            trainable, frozen, ccfg, e if e is not None else emb,
+            max_length=50, temperature=1.0,
+            top_p=0.9, rng=key, policy=policy, sample_in_kernel=sk,
+            decode_quant=quant,
+        )
+
+    ms_tail = timed(lambda: run(False))
+    log(f"   emit+XLA tail: {ms_tail:.1f} ms = {b / ms_tail * 1000:.0f} img/s")
+    ms_sk = timed(lambda: run(True))
+    log(f"   in-kernel:     {ms_sk:.1f} ms = {b / ms_sk * 1000:.0f} img/s "
+        f"({ms_tail / ms_sk:.2f}x)")
+    ms_tail_q = timed(lambda: run(False, quant=True))
+    log(f"   int8 tail:     {ms_tail_q:.1f} ms = {b / ms_tail_q * 1000:.0f} img/s")
+    ms_sk_q = timed(lambda: run(True, quant=True))
+    log(f"   int8 in-kernel:{ms_sk_q:.1f} ms = {b / ms_sk_q * 1000:.0f} img/s "
+        f"({ms_tail_q / ms_sk_q:.2f}x)")
+    emb256 = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32))
+    ms_tail256 = timed(lambda: run(False, bb=256, e=emb256), reps=6)
+    ms_sk256 = timed(lambda: run(True, bb=256, e=emb256), reps=6)
+    log(f"   b=256: tail {ms_tail256:.1f} ms ({256 / ms_tail256 * 1000:.0f} img/s) "
+        f"-> in-kernel {ms_sk256:.1f} ms ({256 / ms_sk256 * 1000:.0f} img/s, "
+        f"{ms_tail256 / ms_sk256:.2f}x)")
+
+    log("4/4 continuous engine A/B (128 slots, seg8/bursts16, sampled)...")
+    from gpt2_image_captioning_tpu.models import clip as CL
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    class _NullTokenizer:
+        def batch_decode(self, arr, skip_special_tokens=True):
+            return [""] * len(arr)
+
+    vcfg = CL.CLIPVisionConfig.vit_b32()
+    vparams = CL.init_vision(jax.random.PRNGKey(1), vcfg)
+    model = C.ImageCaptioningModel(ccfg, tokenizer=_NullTokenizer(), policy=policy)
+    model.trainable, model.frozen = trainable, frozen
+    embs = rng.normal(size=(1024, 512)).astype(np.float32)
+
+    def run_cont(sk, precision="bf16"):
+        svc = ContinuousCaptionService(
+            model, vparams, vcfg, encoder="clip", slots=128, admit=32,
+            segment=8, bursts=16, max_length=50, decode_precision=precision,
+            temperature=1.0, top_p=0.9, sample_in_kernel=sk,
+        )
+        for e in embs[:128]:
+            svc.submit_embedding(e)
+        svc.drain()  # compile + warm
+        t0 = time.perf_counter()
+        for e in embs:
+            svc.submit_embedding(e)
+        done = svc.drain()
+        dt = time.perf_counter() - t0
+        assert len(done) >= 1024
+        return len(embs) / dt
+
+    for sk in (False, True):
+        r1 = run_cont(sk)
+        r2 = run_cont(sk)
+        log(f"   continuous bf16 sample_in_kernel={sk}: {max(r1, r2):.0f} img/s "
+            f"(runs {r1:.0f}/{r2:.0f})")
+
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -513,3 +513,65 @@ def test_continuous_per_request_sampling():
         svc.submit_embedding(embs[0], temperature=1.0)
     with pytest.raises(ValueError, match="top_p"):
         svc.submit_embedding(embs[0], top_p=1.5)
+
+
+def test_continuous_sample_in_kernel():
+    """``sample_in_kernel=True`` compiles the in-kernel-draw macro
+    (speculative-accept nucleus sampling in ops/decode_step.py): greedy
+    requests stay EXACTLY one-shot greedy even mixed with sampled ones (the
+    kernel takes the per-row argmax for temp-0 rows), sampled rows replay
+    per (seed, submission order), and per-request top_p < 0.5 is rejected at
+    submit.  Under the interpreter's zero PRNG bits the in-kernel draw
+    degenerates to the argmax — hardware stochasticity is validated on-chip
+    by scripts/kernel_sample_ab.py."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import mapping as M
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=8, gpt_dim=32)
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    rng = np.random.default_rng(41)
+    embs = rng.normal(size=(6, 8)).astype(np.float32)
+
+    def make(seed, **kw):
+        return ContinuousCaptionService(
+            model, None, None, slots=3, segment=2, bursts=2, admit=2,
+            max_length=6, seed=seed, per_request_sampling=True,
+            sample_in_kernel=True, **kw,
+        )
+
+    def run_mixed(seed):
+        svc = make(seed)
+        rids = []
+        for i, e in enumerate(embs):
+            if i % 2 == 0:
+                rids.append(svc.submit_embedding(e))  # greedy default
+            else:
+                rids.append(svc.submit_embedding(e, temperature=1.0, top_p=0.9))
+        svc.drain()
+        return [svc.pop_result(r) for r in rids]
+
+    with pltpu.force_tpu_interpret_mode():
+        want = model.generate_captions(
+            jnp.asarray(embs), max_length=6, temperature=0.0
+        )
+        a1 = run_mixed(3)
+        a2 = run_mixed(3)
+        assert a1 == a2  # deterministic per (seed, submission order)
+        assert a1[0::2] == want[0::2]  # greedy rows EXACT despite mixing
+
+    svc = make(0)
+    with pytest.raises(ValueError, match="top_p >= 0.5"):
+        svc.submit_embedding(embs[0], temperature=1.0, top_p=0.3)
