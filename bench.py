@@ -102,6 +102,24 @@ def main() -> None:
     sampled_img_s = batch * reps / (time.perf_counter() - t0)
     log(f"sampled decode: {sampled_img_s:.0f} img/s")
 
+    # --- sampled decode with the in-kernel draw (serving opt-in) -----------
+    def ours_sampled_sk():
+        return C.generate(
+            trainable, frozen, ccfg, emb,
+            max_length=max_len, temperature=1.0, top_p=0.9, rng=skey,
+            policy=policy, packed=packed, sample_in_kernel=True,
+        )
+
+    log("compiling in-kernel-sampled decode...")
+    np.asarray(ours_sampled_sk())
+    np.asarray(ours_sampled_sk())
+    t0 = time.perf_counter()
+    skouts = [ours_sampled_sk() for _ in range(reps)]
+    for o in skouts:
+        np.asarray(o)
+    sampled_sk_img_s = batch * reps / (time.perf_counter() - t0)
+    log(f"in-kernel-sampled decode: {sampled_sk_img_s:.0f} img/s")
+
     # --- int8 W8A8 greedy decode (opt-in serving mode) --------------------
     packed8 = C.prepare_decode_weights(trainable, frozen, ccfg, policy=policy, quant=True)
 
@@ -351,6 +369,7 @@ def main() -> None:
                 "extras": {
                     "decode_batch_latency_ms_per_call_sync": round(ours_latency_ms, 1),
                     "sampled_decode_top_p_img_s": round(sampled_img_s, 1),
+                    "sampled_in_kernel_img_s": round(sampled_sk_img_s, 1),
                     "int8_decode_img_s": round(int8_img_s, 1),
                     "decode_b256_img_s": round(b256_img_s, 1),
                     "peak_serving_b512_int8_img_s": round(peak_img_s, 1),

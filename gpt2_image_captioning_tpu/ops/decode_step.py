@@ -1246,14 +1246,19 @@ def fused_decode_step(
         ]
         cache_args += [k_scale, v_scale]
     extra = {}
-    if do_sample:
-        # the 3·sample_k per-candidate scratch bufs lane-pad to (bb, 128)
-        # f32 (~1.6 MB at bb=256) — the greedy 256-row config already sits
-        # ~0.4 MB under the default 16 MB scoped-VMEM watermark, so sample
-        # mode raises it (v5e physical VMEM is far larger; this is only the
-        # compiler's budget)
+    if do_sample or (emit_logits and bb > BLOCK_B):
+        # the greedy 256-row config already sits ~0.4 MB under the default
+        # 16 MB scoped-VMEM watermark, so modes that add buffers on top
+        # raise it (v5e physical VMEM is far larger; this is only the
+        # compiler's budget): sample mode's 3·sample_k per-candidate scratch
+        # bufs lane-pad to (bb, 128) f32 (~1.6 MB at bb=256), and emit mode's
+        # f32 logits staging buffer costs ~1 MB at 256-row blocks (measured
+        # on-chip: 16.46M needed vs the 16.00M default at b=256 emit)
+        # measured needs: emit@256 16.5M, sample@256 31.6M (the candidate
+        # walk's unrolled VPU temporaries land on the Mosaic stack)
         extra["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024
+            vmem_limit_bytes=(40 if do_sample and bb > BLOCK_B else 24)
+            * 1024 * 1024
         )
     outs = pl.pallas_call(
         kernel,

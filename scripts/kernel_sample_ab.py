@@ -43,6 +43,82 @@ def timed(fn, reps=8, warm=2):
     return (time.perf_counter() - t0) / reps * 1000
 
 
+def _correctness(draw, oracle, b, log):
+    import jax.numpy as jnp
+
+    log("1/4 lowering + determinism...")
+    t1, r1, lse1 = map(np.asarray, draw(jnp.int32(123), 1.0, 0.9))
+    t2, r2, _ = map(np.asarray, draw(jnp.int32(123), 1.0, 0.9))
+    t3, _, _ = map(np.asarray, draw(jnp.int32(124), 1.0, 0.9))
+    assert np.array_equal(t1, t2), "same seed must replay identically"
+    diff_seeds = (t1 != t3).mean()
+    log(f"   deterministic; fraction differing across seeds: {diff_seeds:.3f}")
+    assert diff_seeds > 0.5, "different seeds should draw different tokens"
+
+    lw, pz, nucleus = oracle(1.0, 0.9)
+    want_lse = np.log(np.exp(lw - lw.max(-1, keepdims=True)).sum(-1)) + lw.max(-1)
+    np.testing.assert_allclose(want_lse, np.asarray(lse1)[:, 0], atol=2e-2, rtol=1e-4)
+    log(f"   lse matches XLA logsumexp (nucleus sizes: "
+        f"min {nucleus.sum(-1).min()}, med {int(np.median(nucleus.sum(-1)))}, "
+        f"max {nucleus.sum(-1).max()})")
+
+    log("2/4 membership + distribution over many draws...")
+    NDRAW = 400
+    toks = np.zeros((NDRAW, b), np.int32)
+    rnds = np.zeros((NDRAW, b), np.int32)
+    for i in range(NDRAW):
+        t, r, _ = draw(jnp.int32(1000 + i), 1.0, 0.9)
+        toks[i], rnds[i] = np.asarray(t), np.asarray(r)
+    # random-init logits are near-flat (the adversarial case: huge nuclei,
+    # worst speculative-accept odds).  The kernel's membership masses
+    # accumulate in f32 (error ~sqrt(V)*eps ~ 2e-5 on a 0.9 mass), so a
+    # token whose float64 strictly-above mass sits within that of top_p can
+    # legitimately flip vs the float64 oracle — the same boundary class the
+    # XLA bisect documents.  Any out-of-oracle draw must BE such a boundary
+    # token; everything else must be in the nucleus.
+    in_nuc = nucleus[np.arange(b)[None, :], toks]
+    log(f"   flat case: membership rate {in_nuc.mean():.6f}, rounds histogram "
+        f"{np.bincount(rnds.ravel()).tolist()}")
+    bad = np.argwhere(~in_nuc)
+    for i, r in bad:
+        t = toks[i, r]
+        mass_above = pz[r][lw[r] > lw[r, t]].sum()
+        log(f"   boundary check draw {i} row {r} tok {t}: "
+            f"mass_above={mass_above:.8f} (top_p=0.9)")
+        assert abs(mass_above - 0.9) < 1e-4, (i, r, t, mass_above)
+    assert in_nuc.mean() > 0.999, in_nuc.mean()
+
+    # sharp case (temperature 0.05): tiny nuclei — meaningful frequency test
+    lw_s, pz_s, nuc_s = oracle(0.05, 0.9)
+    toks_s = np.zeros((NDRAW, b), np.int32)
+    rnds_s = np.zeros((NDRAW, b), np.int32)
+    for i in range(NDRAW):
+        t, r, _ = draw(jnp.int32(5000 + i), 0.05, 0.9)
+        toks_s[i], rnds_s[i] = np.asarray(t), np.asarray(r)
+    in_nuc_s = nuc_s[np.arange(b)[None, :], toks_s].mean()
+    sizes = nuc_s.sum(-1)
+    log(f"   sharp case: membership rate {in_nuc_s:.6f}, nucleus sizes "
+        f"min {sizes.min()}/med {int(np.median(sizes))}/max {sizes.max()}, "
+        f"rounds histogram {np.bincount(rnds_s.ravel()).tolist()}")
+    assert in_nuc_s == 1.0, f"sampled token outside the nucleus ({in_nuc_s})"
+    # per-row TV between empirical frequencies and the renormalized nucleus,
+    # averaged over rows with nucleus size in [2, 32]
+    tvs = []
+    for r in range(b):
+        cols = np.where(nuc_s[r])[0]
+        if not 2 <= len(cols) <= 32:
+            continue
+        want = pz_s[r, cols] / pz_s[r, cols].sum()
+        got = np.array([(toks_s[:, r] == c).mean() for c in cols])
+        tvs.append(0.5 * np.abs(want - got).sum())
+    tv = float(np.mean(tvs))
+    # TV of an N-sample empirical vs a k<=32-outcome distribution
+    # concentrates around sqrt(k/(2*pi*N)) ~ 0.11; the mean over many rows
+    # concentrates much tighter
+    log(f"   mean TV over {len(tvs)} small-nucleus rows: {tv:.4f}")
+    assert tv < 0.15, tv
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -92,7 +168,9 @@ def main() -> None:
     logits = np.asarray(logits, np.float32)
 
     @jax.jit
-    def draw(seed, temp, topp):
+    def draw_(packed, x0, kc, vc, idx, seed, temp, topp):
+        # params as ARGUMENTS, never closure constants (CLAUDE.md rule 2:
+        # closed-over device arrays inline into the remote-compile payload)
         tok, rnd, lse, _, _ = DS.fused_decode_step(
             packed, x0, kc, vc, idx, n_head=12, vocab=gcfg.vocab_size,
             sample={
@@ -102,6 +180,9 @@ def main() -> None:
             },
         )
         return tok, rnd, lse
+
+    def draw(seed, temp, topp):
+        return draw_(packed, x0, kc, vc, idx, seed, temp, topp)
 
     def oracle(temp, topp):
         """Exact nucleus mask + probs per row: keep t iff the mass of
@@ -119,65 +200,12 @@ def main() -> None:
             nucleus[r] = c[first] <= topp
         return lw, pz, nucleus
 
-    log("1/4 lowering + determinism...")
-    t1, r1, lse1 = map(np.asarray, draw(jnp.int32(123), 1.0, 0.9))
-    t2, r2, _ = map(np.asarray, draw(jnp.int32(123), 1.0, 0.9))
-    t3, _, _ = map(np.asarray, draw(jnp.int32(124), 1.0, 0.9))
-    assert np.array_equal(t1, t2), "same seed must replay identically"
-    diff_seeds = (t1 != t3).mean()
-    log(f"   deterministic; fraction differing across seeds: {diff_seeds:.3f}")
-    assert diff_seeds > 0.5, "different seeds should draw different tokens"
+    skip_correctness = "--skip-correctness" in sys.argv
 
-    lw, pz, nucleus = oracle(1.0, 0.9)
-    want_lse = np.log(np.exp(lw - lw.max(-1, keepdims=True)).sum(-1)) + lw.max(-1)
-    np.testing.assert_allclose(want_lse, np.asarray(lse1)[:, 0], atol=2e-2, rtol=1e-4)
-    log(f"   lse matches XLA logsumexp (nucleus sizes: "
-        f"min {nucleus.sum(-1).min()}, med {int(np.median(nucleus.sum(-1)))}, "
-        f"max {nucleus.sum(-1).max()})")
-
-    log("2/4 membership + distribution over many draws...")
-    NDRAW = 400
-    toks = np.zeros((NDRAW, b), np.int32)
-    rnds = np.zeros((NDRAW, b), np.int32)
-    for i in range(NDRAW):
-        t, r, _ = draw(jnp.int32(1000 + i), 1.0, 0.9)
-        toks[i], rnds[i] = np.asarray(t), np.asarray(r)
-    # random-init logits are near-flat (the adversarial case: huge nuclei,
-    # worst speculative-accept odds) — membership must still be exact
-    in_nuc = nucleus[np.arange(b)[None, :], toks].mean()
-    log(f"   flat case: membership rate {in_nuc:.6f}, rounds histogram "
-        f"{np.bincount(rnds.ravel()).tolist()}")
-    assert in_nuc == 1.0, f"sampled token outside the nucleus ({in_nuc})"
-
-    # sharp case (temperature 0.05): tiny nuclei — meaningful frequency test
-    lw_s, pz_s, nuc_s = oracle(0.05, 0.9)
-    toks_s = np.zeros((NDRAW, b), np.int32)
-    rnds_s = np.zeros((NDRAW, b), np.int32)
-    for i in range(NDRAW):
-        t, r, _ = draw(jnp.int32(5000 + i), 0.05, 0.9)
-        toks_s[i], rnds_s[i] = np.asarray(t), np.asarray(r)
-    in_nuc_s = nuc_s[np.arange(b)[None, :], toks_s].mean()
-    sizes = nuc_s.sum(-1)
-    log(f"   sharp case: membership rate {in_nuc_s:.6f}, nucleus sizes "
-        f"min {sizes.min()}/med {int(np.median(sizes))}/max {sizes.max()}, "
-        f"rounds histogram {np.bincount(rnds_s.ravel()).tolist()}")
-    assert in_nuc_s == 1.0, f"sampled token outside the nucleus ({in_nuc_s})"
-    # per-row TV between empirical frequencies and the renormalized nucleus,
-    # averaged over rows with nucleus size in [2, 32]
-    tvs = []
-    for r in range(b):
-        cols = np.where(nuc_s[r])[0]
-        if not 2 <= len(cols) <= 32:
-            continue
-        want = pz_s[r, cols] / pz_s[r, cols].sum()
-        got = np.array([(toks_s[:, r] == c).mean() for c in cols])
-        tvs.append(0.5 * np.abs(want - got).sum())
-    tv = float(np.mean(tvs))
-    # TV of an N-sample empirical vs a k<=32-outcome distribution
-    # concentrates around sqrt(k/(2*pi*N)) ~ 0.11; the mean over many rows
-    # concentrates much tighter
-    log(f"   mean TV over {len(tvs)} small-nucleus rows: {tv:.4f}")
-    assert tv < 0.15, tv
+    if skip_correctness:
+        log("1/4+2/4 correctness SKIPPED (--skip-correctness)")
+    else:
+        _correctness(draw, oracle, b, log)
 
     log("3/4 generate() A/B (T=1.0, top_p=0.9, len 50)...")
     emb = jnp.asarray(rng.normal(size=(b, 512)).astype(np.float32))

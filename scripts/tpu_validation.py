@@ -92,6 +92,29 @@ def main():
     if same < 0.95:  # argmax ties at f32 noise may flip the rare token
         failures.append(f"generate agreement {same}")
 
+    # --- in-kernel nucleus sampling on real Mosaic ---------------------------
+    # (the interpreter stubs the PRNG to zeros, so seed determinism and
+    # re-draw across seeds are only provable here; full distribution and
+    # membership validation lives in scripts/kernel_sample_ab.py)
+    log("sample: in-kernel nucleus sampling (sample_in_kernel=True)...")
+
+    def sk_gen(seed):
+        return np.asarray(
+            C.generate(
+                tr, fz, ccfg, emb, max_length=12, temperature=1.0, top_p=0.9,
+                rng=jax.random.PRNGKey(seed), use_pallas_decode=True,
+                sample_in_kernel=True,
+            )
+        )
+
+    s1, s2, s3 = sk_gen(5), sk_gen(5), sk_gen(6)
+    redraw = (s1 != s3).mean()
+    log(f"   deterministic={np.array_equal(s1, s2)}  redraw across seeds={redraw:.2f}")
+    if not np.array_equal(s1, s2):
+        failures.append("in-kernel sampling not deterministic per seed")
+    if redraw == 0.0:
+        failures.append("in-kernel sampling identical across seeds")
+
     # --- 4. train step ------------------------------------------------------
     log("3/5 train step on TPU...")
     from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
