@@ -73,25 +73,43 @@ def _sp_block(
     key_mask: jnp.ndarray,
     q_offset: int | jnp.ndarray,
     policy: Policy,
+    ring: bool = False,
 ) -> jnp.ndarray:
     """One transformer block over a local (B, T/S, D) sequence chunk.
-    Identical math to ``gpt2._block``; the only collective is the K/V
-    all-gather over ``sp`` (queries never move)."""
+    Identical math to ``gpt2._block``; the only collective is in attention:
+    either a K/V all-gather over ``sp`` (queries never move; per-device
+    attention memory O(T)) or, with ``ring=True``, blockwise ring attention
+    (``parallel/ring.py``: K/V stay sharded and rotate via neighbor
+    ppermute; per-device memory O(T/S) — the long-context form)."""
     h = nn.layer_norm(bp["ln_1"], x, cfg.layer_norm_epsilon)
     qkv = nn.dense(bp["attn"]["c_attn"], h, policy)
     q3, k3, v3 = jnp.split(qkv, 3, axis=-1)  # each (B, Tc, D)
-    # gather the full sequence's keys/values: (B, Tc, D) → (B, T, D)
-    k_full = jax.lax.all_gather(k3, SEQ_AXIS, axis=1, tiled=True)
-    v_full = jax.lax.all_gather(v3, SEQ_AXIS, axis=1, tiled=True)
-    a4 = nn.attention_xla(
-        nn.split_heads(q3, cfg.n_head),
-        nn.split_heads(k_full, cfg.n_head),
-        nn.split_heads(v_full, cfg.n_head),
-        causal=True,
-        key_mask=key_mask,
-        q_offset=q_offset,
-        policy=policy,
-    )
+    if ring:
+        from gpt2_image_captioning_tpu.parallel.ring import ring_attention
+
+        a4 = ring_attention(
+            nn.split_heads(q3, cfg.n_head),
+            nn.split_heads(k3, cfg.n_head),
+            nn.split_heads(v3, cfg.n_head),
+            axis_name=SEQ_AXIS,
+            q_offset=q_offset,
+            key_mask=key_mask,
+            causal=True,
+            policy=policy,
+        )
+    else:
+        # gather the full sequence's keys/values: (B, Tc, D) → (B, T, D)
+        k_full = jax.lax.all_gather(k3, SEQ_AXIS, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v3, SEQ_AXIS, axis=1, tiled=True)
+        a4 = nn.attention_xla(
+            nn.split_heads(q3, cfg.n_head),
+            nn.split_heads(k_full, cfg.n_head),
+            nn.split_heads(v_full, cfg.n_head),
+            causal=True,
+            key_mask=key_mask,
+            q_offset=q_offset,
+            policy=policy,
+        )
     x = x + nn.dense(bp["attn"]["c_proj"], nn.merge_heads(a4), policy)
     h = nn.layer_norm(bp["ln_2"], x, cfg.layer_norm_epsilon)
     h = nn.gelu_new(nn.dense(bp["mlp"]["c_fc"], h, policy))
@@ -102,6 +120,7 @@ def _shard_loss(
     ccfg: C.CaptionerConfig,
     policy: Policy,
     n_shard: int,
+    ring: bool,
     trainable: dict,
     frozen: dict,
     batch: dict,
@@ -153,7 +172,8 @@ def _shard_loss(
     def body(x, bp):
         return (
             _sp_block(
-                bp, cfg, x, key_mask=mask, q_offset=offset, policy=policy
+                bp, cfg, x, key_mask=mask, q_offset=offset, policy=policy,
+                ring=ring,
             ),
             None,
         )
@@ -174,9 +194,9 @@ def _shard_loss(
     return nll, cnt
 
 
-def _loss_and_grad(ccfg, policy, n_shard, trainable, frozen, batch):
+def _loss_and_grad(ccfg, policy, n_shard, ring, trainable, frozen, batch):
     def local_loss(tr):
-        nll, cnt = _shard_loss(ccfg, policy, n_shard, tr, frozen, batch)
+        nll, cnt = _shard_loss(ccfg, policy, n_shard, ring, tr, frozen, batch)
         return nll / jnp.maximum(cnt, 1).astype(nll.dtype)
 
     lval, g = jax.value_and_grad(local_loss)(trainable)
@@ -205,11 +225,13 @@ def pad_batch_for_sp(batch: dict, p_len: int, sp: int) -> dict:
 
 
 def make_sp_loss_and_grad(
-    ccfg: C.CaptionerConfig, mesh: Mesh, policy: Policy = F32
+    ccfg: C.CaptionerConfig, mesh: Mesh, policy: Policy = F32, ring: bool = False
 ):
     """Jitted ``(trainable, frozen, batch) → (loss, grads)`` over a
     ``(dp, sp)`` mesh.  Parameters replicated; batch sharded over dp with
-    sequences replicated over sp; activations sequence-sharded inside."""
+    sequences replicated over sp; activations sequence-sharded inside.
+    ``ring=True`` swaps the per-layer K/V all-gather for blockwise ring
+    attention (parallel/ring.py) — same math, O(T/S) attention memory."""
     n_shard = mesh.shape[SEQ_AXIS]
     p_len = ccfg.total_prefix_length
 
@@ -223,7 +245,7 @@ def make_sp_loss_and_grad(
         "image_embedding": P(DATA_AXIS),
     }
 
-    lg = functools.partial(_loss_and_grad, ccfg, policy, n_shard)
+    lg = functools.partial(_loss_and_grad, ccfg, policy, n_shard, ring)
     sm = shard_map(
         lg,
         mesh=mesh,

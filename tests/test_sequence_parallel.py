@@ -97,7 +97,7 @@ def test_sp_activation_chunking_is_real():
     from jax.sharding import PartitionSpec as P
 
     def probe(tr, fz, b):
-        nll, cnt = SP._shard_loss(ccfg, F32, 4, tr, fz, b)
+        nll, cnt = SP._shard_loss(ccfg, F32, 4, False, tr, fz, b)
         return nll
 
     sm = shard_map(
