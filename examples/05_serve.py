@@ -51,7 +51,9 @@ server.serve_forever()
 #       model, vparams, vcfg, encoder="clip", slots=128, segment=4,
 #       bursts=8, max_length=50, decode_precision="bf16",
 #       per_request_sampling=True,   # every request may carry its own
-#   )                                # temperature/top_p (0 = greedy)
+#       sample_in_kernel=True,       # temperature/top_p (0 = greedy);
+#   )                                # in-kernel draw: +16% sampled
+#                                    # throughput, needs top_p >= 0.5
 #   ids = [service.submit_array(img) for img in images]   # or submit_embedding
 #   ids += [service.submit_array(img, temperature=0.9, top_p=0.8)]
 #   service.drain()

@@ -209,7 +209,7 @@ def mean_loss(
     static_argnames=(
         "cfg", "max_length", "temperature", "top_p", "policy", "unroll_decode",
         "use_pallas_decode", "mesh", "decode_quant", "decode_quant_cache",
-        "sample_in_kernel",
+        "sample_in_kernel", "sample_k",
     ),
 )
 def generate(
@@ -230,6 +230,7 @@ def generate(
     decode_quant: bool = False,
     decode_quant_cache: bool = False,
     sample_in_kernel: bool = False,
+    sample_k: int = 3,
 ) -> jnp.ndarray:
     """Autoregressive caption generation → token ids (B, max_length).
 
@@ -471,6 +472,7 @@ def generate(
                 n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
                 eps=cfg.gpt2.layer_norm_epsilon,
                 sample={"temp": temps, "top_p": topps, "seed": seeds[step]},
+                sample_k=sample_k,
             )
             finished = jnp.logical_or(finished, nxt == eos)
             nxt = jnp.where(finished, eos, nxt)

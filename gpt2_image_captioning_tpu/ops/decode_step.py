@@ -910,7 +910,7 @@ def fused_decode_step(
     topk: int = 0,
     start: jnp.ndarray | None = None,
     sample: dict | None = None,
-    sample_k: int = 4,
+    sample_k: int = 3,
     sample_rounds: int = 6,
 ) -> tuple[jnp.ndarray, ...]:
     """One fused decode step.
