@@ -299,22 +299,32 @@ def main() -> None:
         np.random.default_rng(1).normal(size=(enc_batch, 3, 224, 224)).astype(np.float32)
     ).astype(jnp.bfloat16)
 
+    # scan-chunked program: 4 host batches of 256 per dispatch, the shape the
+    # extraction pipeline uses with device_chunks=4 (embeddings/extract.py).
+    # On-chip A/B (scripts/clip_chunk_ab.py): per-256 pipelined 6,901 img/s,
+    # scan(4,256) 9,040 — within 2% of the 9,190 device-true rate — while a
+    # flat b=2048 megabatch REGRESSES to 6,516.  Outputs bit-identical.
     @jax.jit
-    def encode(p, px):
-        return CL.encode_image(p, vcfg, px, policy=policy, normalize=True)
+    def encode_block(p, blocks):  # (C, B, 3, S, S) -> (C, B, D)
+        def body(_, b):
+            return None, CL.encode_image(p, vcfg, b, policy=policy, normalize=True)
 
+        return jax.lax.scan(body, None, blocks)[1]
+
+    blocks = [
+        jnp.stack([px] * 4),
+        jnp.stack([px[::-1]] * 4),
+        jnp.stack([px] * 4),
+        jnp.stack([px[::-1]] * 4),
+    ]
     log("compiling clip encode...")
-    np.asarray(encode(vparams, px))  # compile + sync
-    np.asarray(encode(vparams, px))  # warm dispatch
-    # pipelined dispatch like the decode legs (serving-style): a per-rep
-    # np.asarray sync pays the ~24 ms tunnel roundtrip every rep, which
-    # halved the round-2 committed number (device-true is ~9,200 img/s at
-    # b=256 — scripts/clip_encode_ab.py, in-jit N-rep timing)
+    np.asarray(encode_block(vparams, blocks[0]))  # compile + sync
+    np.asarray(encode_block(vparams, blocks[1]))  # warm dispatch
     t0 = time.perf_counter()
-    eouts = [encode(vparams, px) for _ in range(8)]
+    eouts = [encode_block(vparams, blk) for blk in blocks]
     for o in eouts:
         np.asarray(o)
-    clip_img_s = enc_batch * 8 / (time.perf_counter() - t0)
+    clip_img_s = enc_batch * 4 * len(blocks) / (time.perf_counter() - t0)
     log(f"clip encode: {clip_img_s:.1f} img/s")
 
     # --- continuous (rolling-admission) serving ----------------------------

@@ -51,25 +51,71 @@ def _make_loader(image_dir: str, spec: PreprocessSpec, batch_size: int, num_work
 def _run_extraction(
     image_dir: str,
     output_path: str | None,
-    encode_u8: Callable,  # (batch_u8 (B,S,S,3)) -> (B, D) embeddings
+    encode_u8: Callable,  # (batch_u8 (B,S,S,3)) -> (B, D) embeddings; UN-jitted
     spec: PreprocessSpec,
     batch_size: int,
     num_workers: int,
     desc: str,
+    device_chunks: int = 1,
 ) -> tuple[list[str], np.ndarray]:
+    """Stream host batches through the device encoder.
+
+    ``device_chunks=C`` (>1) stages C host batches into one (C, B, S, S, 3)
+    block and encodes it with a single dispatched program (``lax.scan`` over
+    the chunk axis) — the fixed per-dispatch cost (~24 ms staging+fetch over
+    this TPU's tunnel) amortizes over C·B images instead of B.  Outputs are
+    bit-identical to per-batch encoding; measured on-chip at b=256 the
+    C=4 block lifts encode throughput 6,901 → 9,040 img/s, within 2% of the
+    device-true rate (scripts/clip_chunk_ab.py; a flat C·B megabatch
+    REGRESSES to 6,516 — XLA's per-layer ops tile worse at batch 2048).
+    Device→host fetches are deferred so dispatches pipeline either way.
+    """
     loader = _make_loader(image_dir, spec, batch_size, num_workers)
     all_names: list[str] = []
-    chunks: list[np.ndarray] = []
+    dev_out: list[tuple[jax.Array, int]] = []  # (embeddings, n_valid)
     n_total = len(loader.dir)
     print(f"Starting {desc} embedding extraction for {n_total} images...")
     t0 = time.perf_counter()
-    for names, batch_u8, valid in loader:
-        emb = encode_u8(jnp.asarray(batch_u8))
-        chunks.append(np.asarray(emb)[: len(names)])
-        all_names.extend(names)
+    if device_chunks <= 1:
+        encode = jax.jit(encode_u8)
+        for names, batch_u8, valid in loader:
+            dev_out.append((encode(jnp.asarray(batch_u8)), len(names)))
+            all_names.extend(names)
+    else:
+
+        @jax.jit
+        def encode_block(blocks_u8):  # (C, B, S, S, 3) -> (C, B, D)
+            def body(_, b):
+                return None, encode_u8(b)
+
+            return jax.lax.scan(body, None, blocks_u8)[1]
+
+        staged: list[np.ndarray] = []
+        staged_n: list[int] = []
+
+        def flush():
+            m = len(staged)
+            if m == 0:
+                return
+            while len(staged) < device_chunks:  # pad the tail block
+                staged.append(staged[-1])
+            out = encode_block(jnp.asarray(np.stack(staged)))
+            for j in range(m):
+                dev_out.append((out[j], staged_n[j]))
+            staged.clear()
+            staged_n.clear()
+
+        for names, batch_u8, valid in loader:
+            staged.append(np.asarray(batch_u8))
+            staged_n.append(len(names))
+            all_names.extend(names)
+            if len(staged) == device_chunks:
+                flush()
+        flush()
+    parts = [np.asarray(e)[:n] for e, n in dev_out]  # sync once, at the end
     dt = time.perf_counter() - t0
     embeddings = (
-        np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 0), np.float32)
+        np.concatenate(parts, axis=0) if parts else np.zeros((0, 0), np.float32)
     )
     print(
         f"{desc}: {len(all_names)} images in {dt:.1f}s "
@@ -89,18 +135,19 @@ def extract_clip_embeddings(
     batch_size: int = 64,
     num_workers: int = 4,
     policy: Policy = BF16,
+    device_chunks: int = 1,
 ) -> tuple[list[str], np.ndarray]:
     """CLIP image features, L2-normalized, 512-d (reference
     ``src/embeddings/clip.py:79-149``)."""
     from gpt2_image_captioning_tpu.models import clip as CL
 
-    @jax.jit
     def encode(batch_u8):
         px = normalize_on_device(batch_u8, SPECS["clip"])
         return CL.encode_image(clip_params, clip_cfg, px, policy=policy, normalize=True)
 
     return _run_extraction(
-        image_dir, output_path, encode, SPECS["clip"], batch_size, num_workers, "CLIP"
+        image_dir, output_path, encode, SPECS["clip"], batch_size, num_workers,
+        "CLIP", device_chunks=device_chunks,
     )
 
 
@@ -112,18 +159,19 @@ def extract_vit_embeddings(
     batch_size: int = 64,
     num_workers: int = 4,
     policy: Policy = BF16,
+    device_chunks: int = 1,
 ) -> tuple[list[str], np.ndarray]:
     """HF ViT pooler ([CLS]) features, L2-normalized, 768-d (reference
     ``src/embeddings/vit.py:80-137``)."""
     from gpt2_image_captioning_tpu.models import vit as VT
 
-    @jax.jit
     def encode(batch_u8):
         px = normalize_on_device(batch_u8, SPECS["vit"])
         return VT.encode_image(vit_params, vit_cfg, px, policy=policy, normalize=True)
 
     return _run_extraction(
-        image_dir, output_path, encode, SPECS["vit"], batch_size, num_workers, "ViT"
+        image_dir, output_path, encode, SPECS["vit"], batch_size, num_workers,
+        "ViT", device_chunks=device_chunks,
     )
 
 
@@ -135,18 +183,19 @@ def extract_dino_embeddings(
     batch_size: int = 64,
     num_workers: int = 4,
     policy: Policy = BF16,
+    device_chunks: int = 1,
 ) -> tuple[list[str], np.ndarray]:
     """DINOv3+dino.txt image features, L2-normalized (reference
     ``src/embeddings/dino.py:138-185``)."""
     from gpt2_image_captioning_tpu.models import dino as DN
 
-    @jax.jit
     def encode(batch_u8):
         px = normalize_on_device(batch_u8, SPECS["dino"])
         return DN.encode_image(dino_params, dino_cfg, px, policy=policy, normalize=True)
 
     return _run_extraction(
-        image_dir, output_path, encode, SPECS["dino"], batch_size, num_workers, "DINO"
+        image_dir, output_path, encode, SPECS["dino"], batch_size, num_workers,
+        "DINO", device_chunks=device_chunks,
     )
 
 
@@ -168,6 +217,10 @@ def main() -> None:
                         "(see scripts/download_assets.sh); random init if omitted")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--device-chunks", type=int, default=1,
+                   help="host batches encoded per device dispatch (scan-"
+                        "chunked program; amortizes dispatch overhead — "
+                        "scripts/clip_chunk_ab.py measured 4x256 at +31%%)")
     args = p.parse_args()
 
     def load_sd(path):
@@ -191,7 +244,7 @@ def main() -> None:
             else CL.init_vision(rng, cfg)
         )
         extract_clip_embeddings(args.image_dir, args.output, params, cfg,
-                                args.batch_size, args.num_workers)
+                                args.batch_size, args.num_workers, device_chunks=args.device_chunks)
     elif args.encoder == "vit":
         from gpt2_image_captioning_tpu.models import vit as VT
 
@@ -202,7 +255,7 @@ def main() -> None:
             else VT.init(rng, cfg)
         )
         extract_vit_embeddings(args.image_dir, args.output, params, cfg,
-                               args.batch_size, args.num_workers)
+                               args.batch_size, args.num_workers, device_chunks=args.device_chunks)
     else:
         from gpt2_image_captioning_tpu.models import dino as DN
 
@@ -214,7 +267,7 @@ def main() -> None:
         else:
             params = DN.init(rng, cfg)
         extract_dino_embeddings(args.image_dir, args.output, params, cfg,
-                                args.batch_size, args.num_workers)
+                                args.batch_size, args.num_workers, device_chunks=args.device_chunks)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,32 @@ def test_clip_extraction_end_to_end(image_dir, tmp_path):
     assert len(ds) == 5
 
 
+def test_chunked_extraction_matches_per_batch(image_dir, tmp_path):
+    """device_chunks>1 (scan-chunked dispatch, embeddings/extract.py) must be
+    bit-identical to per-batch encoding, ragged tail block included: 5 images
+    at batch 2 = 3 host batches, so chunks=2 flushes one full (2, ...) block
+    plus a padded tail block."""
+    import dataclasses
+
+    from gpt2_image_captioning_tpu.core.precision import F32
+    from gpt2_image_captioning_tpu.embeddings.preprocess import normalize_on_device
+
+    cfg = CL.CLIPVisionConfig.tiny()
+    params = CL.init_vision(jax.random.PRNGKey(0), cfg)
+    spec = dataclasses.replace(PP.CLIP_SPEC, resize=32, crop=32)
+
+    def encode(batch_u8):
+        px = normalize_on_device(batch_u8, spec)
+        return CL.encode_image(params, cfg, px, policy=F32, normalize=True)
+
+    names1, emb1 = _run_extraction(image_dir, None, encode, spec, 2, 2, "ctl")
+    names2, emb2 = _run_extraction(
+        image_dir, None, encode, spec, 2, 2, "chunked", device_chunks=2
+    )
+    assert names1 == names2
+    np.testing.assert_array_equal(emb1, emb2)
+
+
 def test_caption_word_embeddings(tmp_path):
     import json
 
