@@ -55,6 +55,26 @@ class GPT2Config:
         return GPT2Config()
 
     @staticmethod
+    def gpt2_medium() -> "GPT2Config":
+        """355M.  The reference hardcodes the 124M checkpoint
+        (``src/models.py:211``) but accepts any injected ``GPT2LMHeadModel``
+        via its ``gpt`` argument; these constructors are the equivalent
+        surface.  Larger sizes decode on the layerwise XLA cached path (the
+        fused kernel's VMEM budget is tuned for the 768-wide flagship —
+        ``ops/decode_step.py::fused_greedy_enabled`` gates them out)."""
+        return GPT2Config(n_embd=1024, n_layer=24, n_head=16)
+
+    @staticmethod
+    def gpt2_large() -> "GPT2Config":
+        """774M — see :meth:`gpt2_medium` for the decode-path note."""
+        return GPT2Config(n_embd=1280, n_layer=36, n_head=20)
+
+    @staticmethod
+    def gpt2_xl() -> "GPT2Config":
+        """1.5B — see :meth:`gpt2_medium` for the decode-path note."""
+        return GPT2Config(n_embd=1600, n_layer=48, n_head=25)
+
+    @staticmethod
     def tiny(vocab_size: int = 293) -> "GPT2Config":
         """Small config for CPU tests."""
         return GPT2Config(vocab_size=vocab_size, n_positions=128, n_embd=32, n_layer=2, n_head=2)

@@ -768,9 +768,15 @@ def fused_greedy_enabled(gpt_cfg, policy, use_pallas_decode: bool | None) -> boo
     if use_pallas_decode is False:
         return False
     dtype_ok = policy.compute_dtype == jnp.bfloat16 or gpt_cfg.n_embd <= 256
+    # VMEM budgets (weight tiles, KV chunks, logits staging) are tuned for
+    # the 768-wide flagship; wider GPT-2 sizes (medium/large/xl) would blow
+    # the 16 MB scoped limit deep inside Mosaic — route them to the generic
+    # layerwise XLA cached path instead.  Tiny widths (tests) are fine.
+    width_ok = gpt_cfg.n_embd <= 256 or gpt_cfg.n_embd == 768
+    ok = dtype_ok and width_ok
     if use_pallas_decode is True:
-        return dtype_ok
-    return jax.default_backend() == "tpu" and dtype_ok
+        return ok
+    return jax.default_backend() == "tpu" and ok
 
 def _tile_rc(w: jnp.ndarray, row_t: int, tile: int, dtype) -> jnp.ndarray:
     """(L, d_in, out) → (L, nc·nr, row_t, tile) contiguous tiles, ordered
