@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -84,9 +85,13 @@ def _beam_gather(x3: jnp.ndarray, delta: jnp.ndarray, k: int) -> jnp.ndarray:
     ``k``-aligned row group, so the gather is a group-local permutation.
     Mosaic has no dynamic row gather — build it as ``2k-1`` statically
     shifted copies of the (CT, BB, D) chunk selected by per-``(t, r)``
-    masks.  Pure VPU work (~2k passes over the chunk), overlapped with the
-    next chunk's cache DMA; the alternative (a one-hot MXU permutation
-    matmul) would contend with the weight-stream matmuls instead.
+    masks.  Pure VPU work (~2k passes over the chunk).  NON-DEFAULT: the
+    on-chip A/B (scripts/beam_gather_ab.py, docs/PERF_NOTES.md) measured
+    the one-hot MXU permutation matmul 1.65× faster for the whole beam
+    step (3.54 vs 5.84 ms at 512 rows) — the weight stream is HBM-bound,
+    so the MXU slots the one-hot variant uses were idle, while these VPU
+    relayout passes were the serial bottleneck.  Kept as the
+    ``GIC_BEAM_GATHER=shift`` fallback and interpret-mode cross-check.
     """
     bb = x3.shape[1]
     out = None
@@ -150,6 +155,7 @@ def _step_kernel(
     quant: bool,
     cache_quant: bool,
     beam_k: int,
+    beam_gather: str,
     topk: int,
     sample: bool,
     cand_k: int,
@@ -394,10 +400,42 @@ def _step_kernel(
                 # DMA walk as k/v (dynamic slicing of register arrays or
                 # VMEM refs does not lower in Mosaic — DMA does)
                 orig_c = obuf[slot]
-                r_loc = jax.lax.broadcasted_iota(jnp.int32, (ct, bb), 1)
-                delta = orig_c - (bi * bb + r_loc)
-                k = _beam_gather(k, delta, beam_k)
-                v = _beam_gather(v, delta, beam_k)
+                if beam_gather == "onehot":
+                    # DEFAULT (on-chip A/B: 3.54 vs 5.84 ms/step at 512
+                    # rows): out[t] = P[t] @ x[t] with P the (bb, bb)
+                    # one-hot of the local source rows.  Exact (one nonzero
+                    # per row) and rides the MXU, which the HBM-bound weight
+                    # stream leaves partly idle — vs 2·(2k−1) VPU relayout
+                    # passes for the shifted-select gather.
+                    j_loc = orig_c - bi * bb  # (ct, bb) local source row
+                    r2 = jax.lax.broadcasted_iota(jnp.int32, (ct, bb, bb), 2)
+                    oh = (j_loc[:, :, None] == r2).astype(jnp.float32).astype(cdt)
+
+                    def _apply(x3):
+                        rows = [
+                            jnp.dot(
+                                oh[t], x3[t], preferred_element_type=jnp.float32
+                            ).astype(x3.dtype)[None]
+                            for t in range(ct)
+                        ]
+                        return rows[0] if ct == 1 else jnp.concatenate(rows, axis=0)
+
+                    k = _apply(k)
+                    v = _apply(v)
+                else:
+                    r_loc = jax.lax.broadcasted_iota(jnp.int32, (ct, bb), 1)
+                    delta = orig_c - (bi * bb + r_loc)
+                    if beam_gather == "fused_shift":
+                        # one 7-shift pass over the lane-concatenated [k|v]
+                        # chunk: same bytes as two passes, half the relayout
+                        # op dispatches
+                        kv = _beam_gather(
+                            jnp.concatenate([k, v], axis=2), delta, beam_k
+                        )
+                        k, v = kv[:, :, :d], kv[:, :, d:]
+                    else:
+                        k = _beam_gather(k, delta, beam_k)
+                        v = _beam_gather(v, delta, beam_k)
             prod = k * q[None, :, :]
             s = jnp.dot(
                 prod.reshape(ct * bb, d), hs_ref[...], preferred_element_type=jnp.float32
@@ -913,6 +951,7 @@ def fused_decode_step(
     chunk_t: int | None = None,
     origin: jnp.ndarray | None = None,
     beam_k: int = 0,
+    beam_gather: str | None = None,
     topk: int = 0,
     start: jnp.ndarray | None = None,
     sample: dict | None = None,
@@ -945,6 +984,11 @@ def fused_decode_step(
     bottleneck: ~0.6 GB of cache movement per step at 512 rows).  Rows are
     beam-major (image i's beams at rows i·k..i·k+k-1) and ancestors stay
     inside the k-aligned group, which must divide the batch block.
+    ``beam_gather`` selects the in-kernel gather implementation:
+    ``"onehot"`` (default — MXU permutation matmul, 1.65× the shift
+    variant on-chip), ``"shift"`` / ``"fused_shift"`` (VPU shifted
+    selects; kept as fallbacks, env override ``GIC_BEAM_GATHER``).  All
+    three are exact and interpret-tested equal.
 
     ``topk=k`` replaces the greedy argmax with in-kernel per-row top-k +
     streaming logsumexp: returns ``(values (B, k) f32, token_ids (B, k)
@@ -1071,6 +1115,7 @@ def fused_decode_step(
         quant=quant,
         cache_quant=cache_quant,
         beam_k=beam_k,
+        beam_gather=beam_gather or os.environ.get("GIC_BEAM_GATHER", "onehot"),
         topk=topk,
         sample=do_sample,
         cand_k=sample_k,

@@ -670,12 +670,6 @@ def test_fused_decode_step_origin_indirection_matches_gather():
     base = (np.arange(bk) // k * k)[None, :]
     origin = np.asarray(base + rng.integers(0, k, size=(tpad, bk)), np.int32)
 
-    vals_o, idxs_o, lse_o, _, _ = DS.fused_decode_step(
-        packed, x0, cache["k"], cache["v"], idx,
-        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
-        origin=jnp.asarray(origin), beam_k=k, topk=k, block_b=8,
-    )
-
     # reference: gather each row's cache explicitly, no indirection.
     # (per-position ancestry means each row r's gathered cache row t is
     # cache[t, origin[t, r]] — materialize exactly that)
@@ -689,13 +683,26 @@ def test_fused_decode_step_origin_indirection_matches_gather():
         n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
         topk=k, block_b=8,
     )
-    np.testing.assert_allclose(
-        np.asarray(vals_o), np.asarray(vals_g), rtol=2e-5, atol=1e-5
-    )
-    np.testing.assert_array_equal(np.asarray(idxs_o), np.asarray(idxs_g))
-    np.testing.assert_allclose(
-        np.asarray(lse_o), np.asarray(lse_g), rtol=2e-5, atol=1e-5
-    )
+
+    # all three in-kernel gather implementations (VPU shifted selects, the
+    # lane-concatenated single-pass variant, and the MXU one-hot permutation
+    # matmul) must match the explicit gather
+    for mode in ("shift", "fused_shift", "onehot"):
+        vals_o, idxs_o, lse_o, _, _ = DS.fused_decode_step(
+            packed, x0, cache["k"], cache["v"], idx,
+            n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+            origin=jnp.asarray(origin), beam_k=k, topk=k, block_b=8,
+            beam_gather=mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(vals_o), np.asarray(vals_g), rtol=2e-5, atol=1e-5,
+            err_msg=mode,
+        )
+        np.testing.assert_array_equal(np.asarray(idxs_o), np.asarray(idxs_g), err_msg=mode)
+        np.testing.assert_allclose(
+            np.asarray(lse_o), np.asarray(lse_g), rtol=2e-5, atol=1e-5,
+            err_msg=mode,
+        )
 
 
 def test_beam_generate_fused_matches_xla_path():
