@@ -94,25 +94,26 @@ def generate_predictions(
         shard = lambda emb: jax.device_put(np.asarray(emb), sharding)
     packed = None
     fused_ok = (
-        decode != "beam"
-        and mesh is None
+        mesh is None
         and C.DS.fused_greedy_enabled(model.cfg.gpt2, dec_pol, None)
     )
     if quant and not fused_ok:
         # int8 is a property of the fused kernel's packed W8A8 tiles; without
         # it the decode actually runs the bf16 XLA path.  Be loud rather than
-        # mislabeling results (ADVICE r2).
+        # mislabeling results (ADVICE r2).  Beam batches whose row count falls
+        # off the kernel's 128-row grid fall back inside beam_generate with
+        # the same warning.
         import warnings
 
         warnings.warn(
             "decode_precision='int8' requested but the fused decode kernel is "
-            "not engaged (non-TPU backend, GIC_DISABLE_FUSED_DECODE, mesh, or "
-            "beam decode) — decoding at bf16 instead.",
+            "not engaged (non-TPU backend, GIC_DISABLE_FUSED_DECODE, or mesh) "
+            "— decoding at bf16 instead.",
             RuntimeWarning,
             stacklevel=2,
         )
         quant = False
-    if fused_ok:
+    if fused_ok and decode != "beam":
         # pre-tile the weights for the fused decode kernel once per eval pass
         # (greedy AND top-p sampled decode both ride the fused kernel now);
         # 256-divisible batches pack narrow tiles for 256-row kernel blocks
@@ -126,7 +127,7 @@ def generate_predictions(
             return C.beam_generate(
                 dec_tr, dec_fz, model.cfg, batch["image_embedding"],
                 max_length=max_length, beam_size=beam_size, policy=dec_pol,
-                mesh=mesh,
+                mesh=mesh, decode_quant=quant,
             )
         return C.generate(
             dec_tr, dec_fz, model.cfg, batch["image_embedding"],

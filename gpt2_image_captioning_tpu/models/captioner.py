@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -735,7 +736,7 @@ def admit_prefill(
     jax.jit,
     static_argnames=(
         "cfg", "max_length", "beam_size", "length_penalty", "policy",
-        "use_pallas_decode", "mesh",
+        "use_pallas_decode", "mesh", "decode_quant",
     ),
 )
 def beam_generate(
@@ -750,6 +751,7 @@ def beam_generate(
     policy: Policy = F32,
     use_pallas_decode: bool | None = None,
     mesh=None,
+    decode_quant: bool = False,
 ) -> jnp.ndarray:
     """Length-normalized beam search → best beam's token ids (B, max_length).
 
@@ -768,6 +770,12 @@ def beam_generate(
     beam sizes) the XLA path gathers the cache per step as before.  Both
     paths share the same union-of-per-beam-top-k selection math and return
     identical beams (modulo 1-ulp logsumexp rounding on near-ties).
+
+    ``decode_quant=True`` streams the fused kernel's weight tiles as
+    per-column int8 (W8A8, same serving mode as ``generate``): halves the
+    dominant weight-bandwidth term of every beam step; tokens drift from the
+    float path only by quantization noise.  Requires the fused path — falls
+    back (loudly) to the caller's precision otherwise.
     """
     gpt_params = _gpt(trainable, frozen)
     eos = cfg.eos_token_id
@@ -796,17 +804,40 @@ def beam_generate(
         # enforced).
         and ((b * k) % DS.BLOCK_B == 0 or use_pallas_decode is True)
     )
+    if decode_quant and not fused:
+        # int8 is a property of the fused kernel's packed W8A8 tiles; the XLA
+        # beam path would silently run at the caller's precision.  Be loud
+        # rather than mislabeling results (same contract as generate /
+        # evaluation.generation — ADVICE r2).
+        import warnings
+
+        warnings.warn(
+            "decode_quant requested but the beam-aware fused kernel is not "
+            "engaged (non-TPU backend, mesh, or beam/batch shape off the "
+            "128-row grid) — beam decoding at the caller's precision instead.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # narrow (tw=384) weight tiles unconditionally: beam mode's ancestry
     # gather needs the VMEM headroom even at 128-row blocks, and 256-row
-    # blocks (b·k % 256 == 0) halve the weight stream on top
+    # blocks (b·k % 256 == 0) halve the weight stream on top.  quant=True
+    # streams the same tiles as per-column int8 (W8A8 — halves the dominant
+    # weight-bandwidth term; prefill stays at compute precision, exactly like
+    # generate's decode_quant mode).
     packed = (
-        DS.pack_decode_weights(gpt_params, policy.compute_dtype, tw=384)
+        DS.pack_decode_weights(
+            gpt_params, policy.compute_dtype, tw=384, quant=decode_quant
+        )
         if fused
         else None
     )
 
     prefill_fused = (
         fused
+        # the prefill kernel streams float tiles only — under decode_quant the
+        # pack is int8, so prefill keeps the XLA path (prefill is at compute
+        # precision in W8A8 mode anyway, matching generate's contract)
+        and not decode_quant
         and PS.fused_prefill_enabled(cfg.gpt2, policy, use_pallas_decode)
         and p_len <= 32
     )
@@ -921,7 +952,17 @@ def beam_generate(
                 packed, x0, kc, vc, idx,
                 n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
                 eps=cfg.gpt2.layer_norm_epsilon,
+                # prefix rows are identical across each beam group (all k
+                # beams descend from one image prefill), so ancestry
+                # gathering below p_len is a numeric no-op — skip it
+                # (GIC_BEAM_PREFIX_SKIP=0 re-enables the full gather, for
+                # A/Bs and as a safety valve like GIC_BEAM_GATHER)
                 origin=origin, beam_k=k, topk=k,
+                gather_start=(
+                    p_len
+                    if os.environ.get("GIC_BEAM_PREFIX_SKIP", "1") != "0"
+                    else 0
+                ),
             )
             return (
                 new_scores, tokens, newly_finished, lengths,

@@ -156,6 +156,7 @@ def _step_kernel(
     cache_quant: bool,
     beam_k: int,
     beam_gather: str,
+    gather_start: int,
     topk: int,
     sample: bool,
     cand_k: int,
@@ -372,98 +373,119 @@ def _step_kernel(
             for dma in chunk_dmas(jax.lax.rem(c0, 2), c0):
                 dma.start()
 
-        def body(c, carry):
-            m, l_run, acc = carry
-            slot = jax.lax.rem(c, 2)
-            nxt = jax.lax.rem(c + 1, 2)
+        def make_body(do_gather):
+            def body(c, carry):
+                m, l_run, acc = carry
+                slot = jax.lax.rem(c, 2)
+                nxt = jax.lax.rem(c + 1, 2)
 
-            @pl.when(c + 1 < nchunks)
-            def _():
-                for dma in chunk_dmas(nxt, c + 1):
-                    dma.start()
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    for dma in chunk_dmas(nxt, c + 1):
+                        dma.start()
 
-            for dma in chunk_dmas(slot, c):
-                dma.wait()
-            if cache_quant:
-                # dequant folded into the products; minor-dim insertion must
-                # happen on the f32 scales (Mosaic only supports it for
-                # 32-bit types), cast after
-                k = kbuf[slot].astype(cdt) * ksbuf[slot][:, :, None].astype(cdt)
-                v = vbuf[slot].astype(cdt) * vsbuf[slot][:, :, None].astype(cdt)
-            else:
-                k = kbuf[slot]  # (CT, BB, D)
-                v = vbuf[slot]
-            if beam_k:
-                # ancestry indirection: row r attends to cache row
-                # origin[t, r] for position t (no host-side cache gather).
-                # The (ct, bb) int32 chunk rides the same double-buffered
-                # DMA walk as k/v (dynamic slicing of register arrays or
-                # VMEM refs does not lower in Mosaic — DMA does)
-                orig_c = obuf[slot]
-                if beam_gather == "onehot":
-                    # DEFAULT (on-chip A/B: 3.54 vs 5.84 ms/step at 512
-                    # rows): out[t] = P[t] @ x[t] with P the (bb, bb)
-                    # one-hot of the local source rows.  Exact (one nonzero
-                    # per row) and rides the MXU, which the HBM-bound weight
-                    # stream leaves partly idle — vs 2·(2k−1) VPU relayout
-                    # passes for the shifted-select gather.
-                    j_loc = orig_c - bi * bb  # (ct, bb) local source row
-                    r2 = jax.lax.broadcasted_iota(jnp.int32, (ct, bb, bb), 2)
-                    oh = (j_loc[:, :, None] == r2).astype(jnp.float32).astype(cdt)
-
-                    def _apply(x3):
-                        rows = [
-                            jnp.dot(
-                                oh[t], x3[t], preferred_element_type=jnp.float32
-                            ).astype(x3.dtype)[None]
-                            for t in range(ct)
-                        ]
-                        return rows[0] if ct == 1 else jnp.concatenate(rows, axis=0)
-
-                    k = _apply(k)
-                    v = _apply(v)
+                for dma in chunk_dmas(slot, c):
+                    dma.wait()
+                if cache_quant:
+                    # dequant folded into the products; minor-dim insertion
+                    # must happen on the f32 scales (Mosaic only supports it
+                    # for 32-bit types), cast after
+                    k = kbuf[slot].astype(cdt) * ksbuf[slot][:, :, None].astype(cdt)
+                    v = vbuf[slot].astype(cdt) * vsbuf[slot][:, :, None].astype(cdt)
                 else:
-                    r_loc = jax.lax.broadcasted_iota(jnp.int32, (ct, bb), 1)
-                    delta = orig_c - (bi * bb + r_loc)
-                    if beam_gather == "fused_shift":
-                        # one 7-shift pass over the lane-concatenated [k|v]
-                        # chunk: same bytes as two passes, half the relayout
-                        # op dispatches
-                        kv = _beam_gather(
-                            jnp.concatenate([k, v], axis=2), delta, beam_k
-                        )
-                        k, v = kv[:, :, :d], kv[:, :, d:]
+                    k = kbuf[slot]  # (CT, BB, D)
+                    v = vbuf[slot]
+                if beam_k and do_gather:
+                    # ancestry indirection: row r attends to cache row
+                    # origin[t, r] for position t (no host-side cache gather).
+                    # The (ct, bb) int32 chunk rides the same double-buffered
+                    # DMA walk as k/v (dynamic slicing of register arrays or
+                    # VMEM refs does not lower in Mosaic — DMA does)
+                    orig_c = obuf[slot]
+                    if beam_gather == "onehot":
+                        # DEFAULT (on-chip A/B: 3.54 vs 5.84 ms/step at 512
+                        # rows): out[t] = P[t] @ x[t] with P the (bb, bb)
+                        # one-hot of the local source rows.  Exact (one
+                        # nonzero per row) and rides the MXU, which the
+                        # HBM-bound weight stream leaves partly idle — vs
+                        # 2·(2k−1) VPU relayout passes for the shifted-select
+                        # gather.
+                        j_loc = orig_c - bi * bb  # (ct, bb) local source row
+                        r2 = jax.lax.broadcasted_iota(jnp.int32, (ct, bb, bb), 2)
+                        oh = (j_loc[:, :, None] == r2).astype(jnp.float32).astype(cdt)
+
+                        def _apply(x3):
+                            rows = [
+                                jnp.dot(
+                                    oh[t], x3[t], preferred_element_type=jnp.float32
+                                ).astype(x3.dtype)[None]
+                                for t in range(ct)
+                            ]
+                            return rows[0] if ct == 1 else jnp.concatenate(rows, axis=0)
+
+                        k = _apply(k)
+                        v = _apply(v)
                     else:
-                        k = _beam_gather(k, delta, beam_k)
-                        v = _beam_gather(v, delta, beam_k)
-            prod = k * q[None, :, :]
-            s = jnp.dot(
-                prod.reshape(ct * bb, d), hs_ref[...], preferred_element_type=jnp.float32
-            ).reshape(ct, bb, n_head) * scale
-            kpos = c * ct + jax.lax.broadcasted_iota(jnp.int32, (ct, bb, n_head), 0)
-            # per-row validity window [start_r, idx): rows admitted mid-window
-            # (continuous batching) only attend to their own prefix+tokens
-            live = (kpos < idx) & (kpos >= start_ref[...][:, :, None])
-            s = jnp.where(live, s, NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=0))
-            p = jnp.where(live, jnp.exp(s - m_new[None, :, :]), 0.0)
-            alpha = jnp.exp(m - m_new)
-            l_new = l_run * alpha + jnp.sum(p, axis=0)
-            # expand probs per head (Mosaic matmuls accumulate in f32; cast
-            # down immediately so the big (CT·BB, D) temp lives in cdt)
-            pe = jnp.dot(
-                p.reshape(ct * bb, n_head).astype(cdt),
-                he_ref[...].astype(cdt),
-                preferred_element_type=jnp.float32,
-            ).astype(cdt).reshape(ct, bb, d)
-            av = jnp.sum(pe * v, axis=0, dtype=jnp.float32)
-            alpha_e = jnp.dot(alpha, he_ref[...], preferred_element_type=jnp.float32)
-            return m_new, l_new, acc * alpha_e + av
+                        r_loc = jax.lax.broadcasted_iota(jnp.int32, (ct, bb), 1)
+                        delta = orig_c - (bi * bb + r_loc)
+                        if beam_gather == "fused_shift":
+                            # one 7-shift pass over the lane-concatenated
+                            # [k|v] chunk: same bytes as two passes, half the
+                            # relayout op dispatches
+                            kv = _beam_gather(
+                                jnp.concatenate([k, v], axis=2), delta, beam_k
+                            )
+                            k, v = kv[:, :, :d], kv[:, :, d:]
+                        else:
+                            k = _beam_gather(k, delta, beam_k)
+                            v = _beam_gather(v, delta, beam_k)
+                prod = k * q[None, :, :]
+                s = jnp.dot(
+                    prod.reshape(ct * bb, d), hs_ref[...], preferred_element_type=jnp.float32
+                ).reshape(ct, bb, n_head) * scale
+                kpos = c * ct + jax.lax.broadcasted_iota(jnp.int32, (ct, bb, n_head), 0)
+                # per-row validity window [start_r, idx): rows admitted
+                # mid-window (continuous batching) only attend to their own
+                # prefix+tokens
+                live = (kpos < idx) & (kpos >= start_ref[...][:, :, None])
+                s = jnp.where(live, s, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=0))
+                p = jnp.where(live, jnp.exp(s - m_new[None, :, :]), 0.0)
+                alpha = jnp.exp(m - m_new)
+                l_new = l_run * alpha + jnp.sum(p, axis=0)
+                # expand probs per head (Mosaic matmuls accumulate in f32;
+                # cast down immediately so the big (CT·BB, D) temp lives in
+                # cdt)
+                pe = jnp.dot(
+                    p.reshape(ct * bb, n_head).astype(cdt),
+                    he_ref[...].astype(cdt),
+                    preferred_element_type=jnp.float32,
+                ).astype(cdt).reshape(ct, bb, d)
+                av = jnp.sum(pe * v, axis=0, dtype=jnp.float32)
+                alpha_e = jnp.dot(alpha, he_ref[...], preferred_element_type=jnp.float32)
+                return m_new, l_new, acc * alpha_e + av
+
+            return body
 
         m0 = jnp.full((bb, n_head), NEG_INF, jnp.float32)
         l0 = jnp.zeros((bb, n_head), jnp.float32)
         acc0 = jnp.zeros((bb, d), jnp.float32)
-        m, l_run, acc = jax.lax.fori_loop(c0, nchunks, body, (m0, l0, acc0))
+        c_skip = (gather_start // ct) if beam_k else 0
+        if beam_k and c_skip > 0:
+            # positions < gather_start are ancestry-identical across each
+            # beam group (the shared image prefix — all beams descend from
+            # one prefill), so the gather there is a numeric no-op: walk
+            # those chunks with the plain body and only gather from the
+            # first chunk touching positions >= gather_start.  Saves the
+            # whole gather cost on prefix chunks (~p_len/idx of the beam
+            # premium; the origin DMA still rides along — 1 KB/chunk).
+            mid = jnp.minimum(jnp.maximum(c0, c_skip), nchunks)
+            carry = jax.lax.fori_loop(c0, mid, make_body(False), (m0, l0, acc0))
+            m, l_run, acc = jax.lax.fori_loop(mid, nchunks, make_body(True), carry)
+        else:
+            m, l_run, acc = jax.lax.fori_loop(
+                c0, nchunks, make_body(bool(beam_k)), (m0, l0, acc0)
+            )
 
         # epilogue: the new token, straight from VMEM
         s_new = jnp.dot(q * kn, hs_ref[...], preferred_element_type=jnp.float32) * scale
@@ -952,6 +974,7 @@ def fused_decode_step(
     origin: jnp.ndarray | None = None,
     beam_k: int = 0,
     beam_gather: str | None = None,
+    gather_start: int = 0,
     topk: int = 0,
     start: jnp.ndarray | None = None,
     sample: dict | None = None,
@@ -988,7 +1011,12 @@ def fused_decode_step(
     ``"onehot"`` (default — MXU permutation matmul, 1.65× the shift
     variant on-chip), ``"shift"`` / ``"fused_shift"`` (VPU shifted
     selects; kept as fallbacks, env override ``GIC_BEAM_GATHER``).  All
-    three are exact and interpret-tested equal.
+    three are exact and interpret-tested equal.  ``gather_start`` (static)
+    skips the gather entirely for cache positions below it — callers must
+    guarantee those rows are identical across each beam group (true for
+    the shared image prefix: every beam descends from one prefill), which
+    makes the skip a numeric no-op that saves the gather's MXU/VPU cost
+    on prefix chunks.
 
     ``topk=k`` replaces the greedy argmax with in-kernel per-row top-k +
     streaming logsumexp: returns ``(values (B, k) f32, token_ids (B, k)
@@ -1116,6 +1144,7 @@ def fused_decode_step(
         cache_quant=cache_quant,
         beam_k=beam_k,
         beam_gather=beam_gather or os.environ.get("GIC_BEAM_GATHER", "onehot"),
+        gather_start=gather_start,
         topk=topk,
         sample=do_sample,
         cand_k=sample_k,

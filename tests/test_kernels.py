@@ -705,6 +705,63 @@ def test_fused_decode_step_origin_indirection_matches_gather():
         )
 
 
+def test_fused_decode_step_gather_start_skips_identical_prefix():
+    """``gather_start``: chunks entirely below it skip the ancestry gather.
+    With group-identical prefix rows (the beam invariant — every beam
+    descends from one image prefill) the skip is a numeric no-op, so the
+    result must equal the full explicit gather."""
+    from gpt2_image_captioning_tpu.models import gpt2
+    from gpt2_image_captioning_tpu.ops import decode_step as DS
+
+    cfg = gpt2.GPT2Config(
+        vocab_size=307, n_positions=64, n_embd=32, n_layer=2, n_head=2
+    )
+    params = gpt2.init(jax.random.PRNGKey(6), cfg)
+    rng = np.random.default_rng(12)
+    k, n_img, p_len = 4, 4, 9  # p_len > CHUNK_T so chunk 0 really skips
+    bk = n_img * k
+    # identical prefix within each beam group (repeat each image's prefix k×)
+    prefix_img = rng.normal(size=(n_img, p_len, 32)).astype(np.float32)
+    prefix = jnp.asarray(np.repeat(prefix_img, k, axis=0))
+    cache = gpt2.init_cache(cfg, bk, p_len + 7)
+    _, cache = gpt2.forward_cached(params, cfg, prefix, cache)
+    # then 3 per-row DISTINCT tokens so post-prefix gathering matters
+    extra = jnp.asarray(rng.normal(size=(bk, 3, 32)).astype(np.float32))
+    _, cache = gpt2.forward_cached(params, cfg, extra, cache)
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(bk, 32)).astype(np.float32))
+    idx = cache["index"]
+    tpad = cache["k"].shape[1]
+
+    base = (np.arange(bk) // k * k)[None, :]
+    origin = np.asarray(base + rng.integers(0, k, size=(tpad, bk)), np.int32)
+
+    kg = np.asarray(cache["k"]).copy()
+    vg = np.asarray(cache["v"]).copy()
+    t_idx = np.arange(tpad)[:, None]
+    kg = kg[:, t_idx, origin]
+    vg = vg[:, t_idx, origin]
+    vals_g, idxs_g, lse_g, _, _ = DS.fused_decode_step(
+        packed, x0, jnp.asarray(kg), jnp.asarray(vg), idx,
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        topk=k, block_b=8,
+    )
+
+    vals_o, idxs_o, lse_o, _, _ = DS.fused_decode_step(
+        packed, x0, cache["k"], cache["v"], idx,
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        origin=jnp.asarray(origin), beam_k=k, topk=k, block_b=8,
+        gather_start=p_len,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals_o), np.asarray(vals_g), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(idxs_o), np.asarray(idxs_g))
+    np.testing.assert_allclose(
+        np.asarray(lse_o), np.asarray(lse_g), rtol=2e-5, atol=1e-5
+    )
+
+
 def test_beam_generate_fused_matches_xla_path():
     """Beam search on the beam-aware fused kernel (origin indirection +
     in-kernel top-k/lse) == the per-layer XLA beam path with its per-step
@@ -730,6 +787,72 @@ def test_beam_generate_fused_matches_xla_path():
             trainable, frozen, ccfg, emb, max_length=8, beam_size=4,
             use_pallas_decode=True,
         )
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_beam_generate_int8_decode_runs_and_tracks_float():
+    """Beam search with decode_quant (W8A8 fused beam kernel): runs, is
+    EOS-consistent, and the best-beam tokens stay close to the float fused
+    path (quantization drift only — same contract as greedy decode_quant)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    gcfg = G.GPT2Config(vocab_size=293, n_positions=64, n_embd=32, n_layer=2, n_head=2)
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=16, gpt_dim=32)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=292)
+    trainable, frozen = C.init_params(jax.random.PRNGKey(3), ccfg)
+    emb = jnp.asarray(np.random.default_rng(9).normal(size=(3, 16)).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(C.beam_generate(
+            trainable, frozen, ccfg, emb, max_length=8, beam_size=4,
+            use_pallas_decode=True,
+        ))
+        got = np.asarray(C.beam_generate(
+            trainable, frozen, ccfg, emb, max_length=8, beam_size=4,
+            use_pallas_decode=True, decode_quant=True,
+        ))
+    assert got.shape == want.shape
+    for row in got:
+        hit = np.where(row == 292)[0]
+        if len(hit):
+            assert (row[hit[0]:] == 292).all()
+    # random-init tiny logits are the adversarial case for quantization; the
+    # beams still mostly coincide (deterministic)
+    assert (got == want).mean() > 0.5, (got, want)
+
+
+def test_beam_generate_int8_without_fused_warns_and_falls_back():
+    """decode_quant on the XLA beam path (kernel not engaged): warns loudly
+    and returns the caller-precision beams (ADVICE r2 contract)."""
+    import warnings as _w
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    gcfg = G.GPT2Config(vocab_size=151, n_positions=64, n_embd=32, n_layer=1, n_head=2)
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=16, gpt_dim=32)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=150)
+    trainable, frozen = C.init_params(jax.random.PRNGKey(2), ccfg)
+    emb = jnp.asarray(np.random.default_rng(4).normal(size=(2, 16)).astype(np.float32))
+
+    want = C.beam_generate(
+        trainable, frozen, ccfg, emb, max_length=6, beam_size=4,
+        use_pallas_decode=False,
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = C.beam_generate(
+            trainable, frozen, ccfg, emb, max_length=6, beam_size=4,
+            use_pallas_decode=False, decode_quant=True,
+        )
+    assert any("decode_quant" in str(r.message) for r in rec), (
+        [str(r.message) for r in rec]
+    )
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
