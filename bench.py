@@ -212,6 +212,24 @@ def main() -> None:
     beam_img_s = batch * beam_reps / (time.perf_counter() - t0)
     log(f"beam-4 decode: {beam_img_s:.0f} img/s")
 
+    # int8 W8A8 beam (decode_quant=True): same packed-tile serving mode as
+    # greedy/sampled; on-chip A/B scripts/beam_e2e_onehot_ab.py
+    def ours_beam_q():
+        return C.beam_generate(
+            trainable, frozen, ccfg, emb,
+            max_length=max_len, beam_size=4, policy=policy, decode_quant=True,
+        )
+
+    log("compiling int8 beam decode...")
+    np.asarray(ours_beam_q())
+    np.asarray(ours_beam_q())
+    t0 = time.perf_counter()
+    qouts = [ours_beam_q() for _ in range(beam_reps)]
+    for o in qouts:
+        np.asarray(o)
+    beam_q_img_s = batch * beam_reps / (time.perf_counter() - t0)
+    log(f"beam-4 int8 decode: {beam_q_img_s:.0f} img/s")
+
     # --- reference algorithm on the same chip: uncached O(L^2) decode ----
     # The reference's Python loop re-forwards the whole sequence every step
     # (src/models.py:389-395), so step t costs one full forward of length
@@ -384,6 +402,7 @@ def main() -> None:
                     "decode_b256_img_s": round(b256_img_s, 1),
                     "peak_serving_b512_int8_img_s": round(peak_img_s, 1),
                     "beam4_decode_img_s": round(beam_img_s, 1),
+                    "beam4_int8_img_s": round(beam_q_img_s, 1),
                     "continuous_serving_img_s": round(cont_img_s, 1),
                     "clip_vit_b32_encode_img_s": round(clip_img_s, 1),
                     "vs_reference_gpu_extraction_65_img_s": round(clip_img_s / 65.0, 1),
