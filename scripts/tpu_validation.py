@@ -3,8 +3,10 @@ check VALUES against the CPU backend (the CI suite runs CPU-only, so this is
 the hardware truth check).  Run: ``python scripts/tpu_validation.py``.
 
 Covers: Pallas flash attention (compiled, not interpreted) vs XLA; GPT-2
-forward TPU vs CPU; KV-cached greedy generate TPU vs CPU; train step loss;
-fused RAT retrieval.
+forward TPU vs CPU; KV-cached greedy generate TPU vs CPU; in-kernel nucleus
+sampling determinism; train step loss; fused RAT retrieval; beam search
+(XLA + beam-aware fused kernel); int8 W8A8 greedy and beam (the quantized
+serving path); sampled fused-vs-XLA agreement; the continuous macro engine.
 """
 
 import contextlib
@@ -192,6 +194,39 @@ def main():
     log(f"   fused beam shape {beam_f.shape}")
     if beam_f.shape != (32, 8):
         failures.append("fused beam output shape")
+
+    # --- int8 W8A8 decode on real Mosaic -------------------------------------
+    # the quantized serving path is exactly where BENCH_r03 died with an
+    # un-root-caused INTERNAL backend error (scripts/int8_crash_repro.py);
+    # these legs make int8 part of the standing on-chip truth check.
+    log("int8: W8A8 greedy decode (decode_quant=True)...")
+    int8_toks = np.asarray(
+        C.generate(tr, fz, ccfg, emb, max_length=12, temperature=0.0,
+                   top_p=1.0, decode_quant=True)
+    )
+    q_agree = (int8_toks == tpu_toks).mean()
+    log(f"   int8 greedy shape {int8_toks.shape}; agreement vs f32 greedy "
+        f"{q_agree:.3f}")
+    if int8_toks.shape != tpu_toks.shape:
+        failures.append(f"int8 greedy shape {int8_toks.shape}")
+    if not ((int8_toks >= 0) & (int8_toks < gcfg.vocab_size)).all():
+        failures.append("int8 greedy tokens out of vocab range")
+    # random-init logits are near-flat — the adversarial case for W8A8 drift
+    # (flagship shapes measured 82.6% agreement, docs/PERF_NOTES.md); this
+    # leg guards compilation + sanity, not tie order
+    if q_agree < 0.4:
+        failures.append(f"int8 greedy agreement {q_agree}")
+
+    log("int8: W8A8 beam-aware fused kernel at 128 rows...")
+    beam_q = np.asarray(
+        C.beam_generate(tr, fz, ccfg, emb32, max_length=8, beam_size=4,
+                        decode_quant=True)
+    )
+    log(f"   int8 fused beam shape {beam_q.shape}")
+    if beam_q.shape != (32, 8):
+        failures.append(f"int8 fused beam shape {beam_q.shape}")
+    if not ((beam_q >= 0) & (beam_q < gcfg.vocab_size)).all():
+        failures.append("int8 beam tokens out of vocab range")
 
     # --- sampled decode: fused emit_logits vs XLA forward, on-chip ---------
     log("sampled: fused emit_logits vs XLA path (T=0.9, top_p=0.9)...")
