@@ -788,12 +788,21 @@ def beam_generate(
     # attention + in-kernel per-row top-k/logsumexp — see docstring).  The
     # round-2 opt-in fused forward (emit_logits + per-step cache gather)
     # measured no better than XLA because the gather/bookkeeping dominated;
-    # the beam-aware kernel removes exactly those terms.  Requires a single
-    # device and beam groups that don't straddle the kernel's batch blocks
-    # (k | 128).  use_pallas_decode=False opts out.
+    # the beam-aware kernel removes exactly those terms.  Requires beam
+    # groups that don't straddle the kernel's batch blocks (k | 128) and a
+    # single device OR a dp-only mesh (shard_map splits the image axis and
+    # each device runs the kernel on its shard — beam state, ancestry and
+    # cache rows are all per-image-group local, exactly like generate's
+    # fused dp path).  use_pallas_decode=False opts out.
+    dp_fused = (
+        mesh is not None
+        and mesh.shape.get("tp", 1) == 1
+        and b % mesh.shape.get("dp", 1) == 0
+    )
+    b_shard = b // mesh.shape["dp"] if dp_fused else b
     fused = (
         DS.fused_greedy_enabled(cfg.gpt2, policy, use_pallas_decode)
-        and mesh is None
+        and (mesh is None or dp_fused)
         and DS.BLOCK_B % k == 0
         # Mosaic constraint: the kernel's per-block slice of the chunk-major
         # origin map cuts the row dim, and HBM memref slices must be
@@ -801,8 +810,9 @@ def beam_generate(
         # real TPUs (found by scripts/tpu_validation.py at 16 rows).  Small
         # batches take the XLA path by default; explicit use_pallas_decode=
         # True still opts in (interpret-mode tests, where tiling is not
-        # enforced).
-        and ((b * k) % DS.BLOCK_B == 0 or use_pallas_decode is True)
+        # enforced).  Under a dp mesh the PER-SHARD row count is what hits
+        # the kernel grid.
+        and ((b_shard * k) % DS.BLOCK_B == 0 or use_pallas_decode is True)
     )
     if decode_quant and not fused:
         # int8 is a property of the fused kernel's packed W8A8 tiles; the XLA
@@ -834,6 +844,7 @@ def beam_generate(
 
     prefill_fused = (
         fused
+        and mesh is None  # prefill under a mesh is GSPMD-partitioned XLA
         # the prefill kernel streams float tiles only — under decode_quant the
         # pack is int8, so prefill keeps the XLA path (prefill is at compute
         # precision in W8A8 mode anyway, matching generate's contract)
@@ -886,7 +897,7 @@ def beam_generate(
     finished0 = jnp.zeros((b, k), dtype=bool)
     lengths0 = jnp.zeros((b, k), dtype=jnp.int32)
 
-    def select(scores, finished, vals, tok_k, lse):
+    def select(bb, scores, finished, vals, tok_k, lse):
         """Union-of-per-beam-top-k candidate selection (shared by both
         paths): every global top-k candidate is in its own beam's top-k
         (within a beam, ranking by score+logp == ranking by raw logits), so
@@ -894,9 +905,11 @@ def beam_generate(
         201k entries — several wide HBM passes — combine each beam's k best
         tokens into K·K survivors.  Tie order matches the flat (beam-major,
         then vocab) rule exactly: candidates are laid out beam-major and
-        both top-k stages break ties toward lower index."""
-        logp_k = (vals - lse).reshape(b, k, k)
-        tok_k = tok_k.reshape(b, k, k)
+        both top-k stages break ties toward lower index.  ``bb`` is the
+        local image count (the full batch, or this device's shard under the
+        dp shard_map path)."""
+        logp_k = (vals - lse).reshape(bb, k, k)
+        tok_k = tok_k.reshape(bb, k, k)
 
         # finished beams may only "continue" with EOS at no score change
         logp_k = jnp.where(finished[:, :, None], neg_inf, logp_k)
@@ -906,17 +919,17 @@ def beam_generate(
         tok_k = tok_k.at[:, :, 0].set(
             jnp.where(finished, eos, tok_k[:, :, 0])
         )
-        cand = (scores[..., None] + logp_k).reshape(b, k * k)
+        cand = (scores[..., None] + logp_k).reshape(bb, k * k)
         new_scores, ci = topk_small(cand, k)  # (B, K) over K·K entries
         parent = ci // k  # (B, K) beam index
-        tok = jnp.take_along_axis(tok_k.reshape(b, k * k), ci, axis=-1).astype(
+        tok = jnp.take_along_axis(tok_k.reshape(bb, k * k), ci, axis=-1).astype(
             jnp.int32
         )
         return new_scores, parent, tok
 
-    def reorder(tokens, finished, lengths, parent, tok, step):
+    def reorder(bb, tokens, finished, lengths, parent, tok, step):
         """Carry beam state along the chosen parents and append tok."""
-        batch_idx = jnp.arange(b)[:, None]
+        batch_idx = jnp.arange(bb)[:, None]
         tokens = tokens[batch_idx, parent]
         finished = finished[batch_idx, parent]
         lengths = lengths[batch_idx, parent]
@@ -927,70 +940,113 @@ def beam_generate(
 
     if fused:
         tpad = cache["k"].shape[1]
+        # NB: GIC_BEAM_PREFIX_SKIP is read at TRACE time — it binds when a
+        # (shape, config) first compiles and is NOT part of the jit cache
+        # key, so it is a process-level switch: set it before the first
+        # beam_generate call (A/B scripts clear jax caches when flipping it).
+        gather_start = (
+            p_len if os.environ.get("GIC_BEAM_PREFIX_SKIP", "1") != "0" else 0
+        )
 
-        def step_fn(carry, step):
-            scores, tokens, finished, lengths, vals, tok_k, lse, kc, vc, origin = carry
-            new_scores, parent, tok = select(scores, finished, vals, tok_k, lse)
-            tokens, newly_finished, lengths, batch_idx = reorder(
-                tokens, finished, lengths, parent, tok, step
-            )
-            idx = p_len + step
-            # ancestry bookkeeping instead of a cache gather: new row r
-            # descends from flat_parent[r], whose history (positions < idx)
-            # it inherits through the kernel's origin indirection; its own
-            # K/V row is written at (idx, r) by the step below
-            flat_parent = (batch_idx * k + parent).reshape(-1)
-            origin = origin[:, flat_parent]
-            origin = jax.lax.dynamic_update_slice(
-                origin, jnp.arange(b * k, dtype=jnp.int32)[None, :], (idx, 0)
-            )
-            x0 = (
-                jnp.take(gpt_params["wte"], tok.reshape(b * k), axis=0)
-                + jax.lax.dynamic_slice_in_dim(gpt_params["wpe"], idx, 1, 0)[0]
-            ).astype(policy.compute_dtype)
-            vals, tok_k, lse, kc, vc = DS.fused_decode_step(
-                packed, x0, kc, vc, idx,
-                n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
-                eps=cfg.gpt2.layer_norm_epsilon,
-                # prefix rows are identical across each beam group (all k
-                # beams descend from one image prefill), so ancestry
-                # gathering below p_len is a numeric no-op — skip it
-                # (GIC_BEAM_PREFIX_SKIP=0 re-enables the full gather, for
-                # A/Bs and as a safety valve like GIC_BEAM_GATHER)
-                origin=origin, beam_k=k, topk=k,
-                gather_start=(
-                    p_len
-                    if os.environ.get("GIC_BEAM_PREFIX_SKIP", "1") != "0"
-                    else 0
-                ),
-            )
-            return (
-                new_scores, tokens, newly_finished, lengths,
-                vals, tok_k, lse, kc, vc, origin,
-            ), None
+        def beam_scan(wte, wpe, packed, logits, kc, vc):
+            """Whole beam decode from post-prefill state → best-beam tokens.
 
-        lf = logits.astype(jnp.float32)
-        vals0, tok_k0 = topk_small(lf, k)
-        lse0 = jax.nn.logsumexp(lf, axis=-1, keepdims=True)
-        origin0 = jnp.broadcast_to(
-            jnp.arange(b * k, dtype=jnp.int32)[None, :], (tpad, b * k)
+            Pure function of its arrays so the dp shard_map path can run it
+            per device shard (beam selection, ancestry and cache rows never
+            cross image groups); ``mesh is None`` calls it directly."""
+            bb = logits.shape[0] // k
+
+            def step_fn(carry, step):
+                scores, tokens, finished, lengths, vals, tok_k, lse, kc, vc, origin = carry
+                new_scores, parent, tok = select(bb, scores, finished, vals, tok_k, lse)
+                tokens, newly_finished, lengths, batch_idx = reorder(
+                    bb, tokens, finished, lengths, parent, tok, step
+                )
+                idx = p_len + step
+                # ancestry bookkeeping instead of a cache gather: new row r
+                # descends from flat_parent[r], whose history (positions <
+                # idx) it inherits through the kernel's origin indirection;
+                # its own K/V row is written at (idx, r) by the step below
+                flat_parent = (batch_idx * k + parent).reshape(-1)
+                origin = origin[:, flat_parent]
+                origin = jax.lax.dynamic_update_slice(
+                    origin, jnp.arange(bb * k, dtype=jnp.int32)[None, :], (idx, 0)
+                )
+                x0 = (
+                    jnp.take(wte, tok.reshape(bb * k), axis=0)
+                    + jax.lax.dynamic_slice_in_dim(wpe, idx, 1, 0)[0]
+                ).astype(policy.compute_dtype)
+                vals, tok_k, lse, kc, vc = DS.fused_decode_step(
+                    packed, x0, kc, vc, idx,
+                    n_head=cfg.gpt2.n_head, vocab=cfg.gpt2.vocab_size,
+                    eps=cfg.gpt2.layer_norm_epsilon,
+                    # prefix rows are identical across each beam group (all
+                    # k beams descend from one image prefill), so ancestry
+                    # gathering below p_len is a numeric no-op — skip it
+                    # (GIC_BEAM_PREFIX_SKIP=0 re-enables the full gather,
+                    # for A/Bs and as a safety valve like GIC_BEAM_GATHER)
+                    origin=origin, beam_k=k, topk=k,
+                    gather_start=gather_start,
+                )
+                return (
+                    new_scores, tokens, newly_finished, lengths,
+                    vals, tok_k, lse, kc, vc, origin,
+                ), None
+
+            lf = logits.astype(jnp.float32)
+            vals0, tok_k0 = topk_small(lf, k)
+            lse0 = jax.nn.logsumexp(lf, axis=-1, keepdims=True)
+            origin0 = jnp.broadcast_to(
+                jnp.arange(bb * k, dtype=jnp.int32)[None, :], (tpad, bb * k)
+            )
+            carry = (
+                jnp.tile(jnp.array([0.0] + [neg_inf] * (k - 1), jnp.float32), (bb, 1)),
+                jnp.full((bb, k, max_length), eos, dtype=jnp.int32),
+                jnp.zeros((bb, k), dtype=bool),
+                jnp.zeros((bb, k), dtype=jnp.int32),
+                vals0, tok_k0, lse0, kc, vc, origin0,
+            )
+            (scores, tokens, finished, lengths, *_), _ = jax.lax.scan(
+                step_fn, carry, jnp.arange(max_length)
+            )
+            lengths = jnp.where(finished, lengths, max_length)
+            norm = jnp.power(
+                jnp.maximum(lengths, 1).astype(jnp.float32), length_penalty
+            )
+            best = jnp.argmax(scores / norm, axis=1)
+            return tokens[jnp.arange(bb), best]
+
+        wte, wpe = gpt_params["wte"], gpt_params["wpe"]
+        if mesh is None:
+            return beam_scan(wte, wpe, packed, logits, cache["k"], cache["v"])
+        # dp shard_map: image groups split over dp, weights/packed tiles
+        # replicated — each device runs the beam-aware kernel on its shard
+        # (same pattern as generate's fused dp path)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        fn = shard_map(
+            beam_scan,
+            mesh=mesh,
+            in_specs=(
+                _P(), _P(), jax.tree.map(lambda _: _P(), packed),
+                _P("dp", None),
+                _P(None, None, "dp", None), _P(None, None, "dp", None),
+            ),
+            out_specs=_P("dp", None),
+            check_vma=False,
         )
-        carry = (
-            scores0, tokens0, finished0, lengths0,
-            vals0, tok_k0, lse0, cache["k"], cache["v"], origin0,
-        )
-        (scores, tokens, finished, lengths, *_), _ = jax.lax.scan(
-            step_fn, carry, jnp.arange(max_length)
-        )
+        return fn(wte, wpe, packed, logits, cache["k"], cache["v"])
+
     else:
         def step_fn(carry, step):
             scores, tokens, finished, lengths, logits, cache = carry
             lf = logits.astype(jnp.float32)  # (B·K, V)
             vals, tok_k = topk_small(lf, k)  # (B·K, k) raw logits descending
             lse = jax.nn.logsumexp(lf, axis=-1, keepdims=True)
-            new_scores, parent, tok = select(scores, finished, vals, tok_k, lse)
+            new_scores, parent, tok = select(b, scores, finished, vals, tok_k, lse)
             tokens, newly_finished, lengths, batch_idx = reorder(
-                tokens, finished, lengths, parent, tok, step
+                b, tokens, finished, lengths, parent, tok, step
             )
             # gather the KV cache along beams: flat index = batch*k + parent
             # (cache layout (L, T, B·K, D) — batch is axis 2)

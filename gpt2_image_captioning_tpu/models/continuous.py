@@ -375,3 +375,114 @@ def macro_step(
         "temp": temp, "topp": topp, "t": t,
     }
     return state, outs
+
+
+def init_state_dp(cfg: CaptionerConfig, dp: int, slots: int, t_max: int,
+                  prefix_len: int, policy: Policy = F32) -> dict:
+    """Fresh dp-sharded engine state: ``dp`` independent sub-pools of
+    ``slots // dp`` rows each.  Same keys as :func:`init_state`, but the
+    per-pool scalars ``idx``/``t`` become ``(dp,)`` vectors (each sub-pool
+    compacts and counts independently) — the layout :func:`macro_step_dp`
+    splits over the mesh."""
+    assert slots % dp == 0, f"slots {slots} must divide over dp={dp}"
+    st = init_state(cfg, slots, t_max, prefix_len, policy)
+    return dict(
+        st,
+        idx=jnp.full((dp,), int(st["idx"]), jnp.int32),
+        t=jnp.zeros((dp,), jnp.int32),
+    )
+
+
+def macro_step_dp(
+    mesh,
+    packed: dict,
+    trainable: dict,
+    frozen: dict,
+    state: dict,
+    emb_q: jnp.ndarray,   # (Q, E) staged embeddings, Q split over dp
+    cap_q: jnp.ndarray,
+    uid_q: jnp.ndarray,
+    n_q: jnp.ndarray,     # (dp,) per-shard valid staged counts
+    rng: jax.Array | None = None,
+    temp_q: jnp.ndarray | None = None,
+    topp_q: jnp.ndarray | None = None,
+    *,
+    cfg: CaptionerConfig,
+    policy: Policy,
+    seg: int,
+    bursts: int,
+    admit: int,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    sampled: bool | None = None,
+    sample_in_kernel: bool = False,
+) -> tuple[dict, jnp.ndarray]:
+    """Data-parallel continuous serving: ``dp`` independent sub-pools, one
+    :func:`macro_step` per device, compiled as ONE ``shard_map`` program.
+
+    Multi-chip serving shards by POOL, not by tensor: rolling admission is
+    per-row bookkeeping plus a single-device fused kernel, so the natural
+    mesh layout splits the slot axis (and each pool's staged queue slice)
+    over ``dp`` and leaves weights/packed tiles replicated — zero
+    collectives in the decode loop, the same recipe as ``generate``'s fused
+    dp path.  The host routes requests to sub-pool queues (round-robin in
+    the service); each sub-pool admits, compacts and finishes rows
+    independently, which is why ``state["idx"]``/``state["t"]`` are per-pool
+    vectors here (see :func:`init_state_dp`).
+
+    Every array argument is split on its pool/queue axis: ``state`` rows and
+    ``out`` columns on the slot axis, ``emb_q``/``cap_q``/``uid_q``/
+    ``temp_q``/``topp_q`` on the queue axis, ``n_q`` one count per shard.
+    Sampled mode folds the shard index into ``rng`` so sub-pools draw
+    independent noise streams.  Returns ``(state', out)`` with ``out``
+    ``(bursts*seg, 4, S)`` — concatenated over shards, so the host harvest
+    is unchanged (uids are global).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as _P
+
+    body = macro_step.__wrapped__  # the un-jitted macro (shard_map traces it)
+    has_rng = rng is not None
+
+    def shard_body(packed, trainable, frozen, state, emb_q, cap_q, uid_q,
+                   n_q, rng, temp_q, topp_q):
+        local = dict(state, idx=state["idx"][0], t=state["t"][0])
+        rng_l = (
+            jax.random.fold_in(rng, jax.lax.axis_index("dp")) if has_rng else None
+        )
+        st2, out = body(
+            packed, trainable, frozen, local, emb_q, cap_q, uid_q, n_q[0],
+            rng_l, temp_q, topp_q,
+            cfg=cfg, policy=policy, seg=seg, bursts=bursts, admit=admit,
+            temperature=temperature, top_p=top_p, sampled=sampled,
+            sample_in_kernel=sample_in_kernel,
+        )
+        st2 = dict(st2, idx=st2["idx"][None], t=st2["t"][None])
+        return st2, out
+
+    row = _P("dp")
+    state_specs = {
+        "k": _P(None, None, "dp", None), "v": _P(None, None, "dp", None),
+        "idx": row, "start": row, "prev": row, "finished": row, "gen": row,
+        "cap": row, "uid": row, "temp": row, "topp": row, "t": row,
+    }
+    rng_spec = _P() if has_rng else None
+    fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: _P(), packed),
+            jax.tree.map(lambda _: _P(), trainable),
+            jax.tree.map(lambda _: _P(), frozen),
+            state_specs,
+            _P("dp", None), row, row, row, rng_spec, row, row,
+        ),
+        out_specs=(state_specs, _P(None, None, "dp")),
+        check_vma=False,
+    )
+    if temp_q is None:
+        temp_q = jnp.full((emb_q.shape[0],), temperature, jnp.float32)
+    if topp_q is None:
+        topp_q = jnp.full((emb_q.shape[0],), top_p, jnp.float32)
+    return fn(packed, trainable, frozen, state, emb_q, cap_q, uid_q, n_q,
+              rng, temp_q, topp_q)

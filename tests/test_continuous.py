@@ -575,3 +575,54 @@ def test_continuous_sample_in_kernel():
     svc = make(0)
     with pytest.raises(ValueError, match="top_p >= 0.5"):
         svc.submit_embedding(embs[0], temperature=1.0, top_p=0.3)
+
+
+def test_macro_step_dp_matches_independent_pools():
+    """macro_step_dp (dp=4 shard_map, per-device sub-pools) emits exactly
+    what four independent single-pool macro_steps emit on the same request
+    slices — the mesh split must be invisible to tokens, uids, admissions
+    and the per-pool idx/t counters."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import continuous as CE
+
+    ccfg, trainable, frozen = _tiny_model()
+    p = ccfg.mapping.prefix_length
+    dp, slots, seg, bursts, admit, max_len = 4, 8, 2, 2, 2, 4
+    t_max = 16
+    rng = np.random.default_rng(7)
+    emb_q = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    cap_q = jnp.full((8,), max_len, jnp.int32)
+    uid_q = jnp.arange(8, dtype=jnp.int32)
+    kw = dict(cfg=ccfg, policy=F32, seg=seg, bursts=bursts, admit=admit)
+
+    with pltpu.force_tpu_interpret_mode():
+        packed = C.prepare_decode_weights(trainable, frozen, ccfg, policy=F32)
+
+        mesh = create_mesh(MeshSpec(dp=dp, tp=1))
+        st_dp = CE.init_state_dp(ccfg, dp, slots, t_max, p, F32)
+        st_dp2, out_dp = CE.macro_step_dp(
+            mesh, packed, trainable, frozen, st_dp, emb_q, cap_q, uid_q,
+            jnp.full((dp,), 2, jnp.int32), **kw,
+        )
+        out_dp = np.asarray(out_dp)
+
+        per = slots // dp
+        for i in range(dp):
+            st_i = CE.init_state(ccfg, per, t_max, p, F32)
+            st_i2, out_i = CE.macro_step(
+                packed, trainable, frozen, st_i,
+                emb_q[2 * i : 2 * i + 2], cap_q[2 * i : 2 * i + 2],
+                uid_q[2 * i : 2 * i + 2], jnp.asarray(2, jnp.int32), **kw,
+            )
+            np.testing.assert_array_equal(
+                out_dp[:, :, per * i : per * (i + 1)], np.asarray(out_i)
+            )
+            assert int(st_dp2["idx"][i]) == int(st_i2["idx"])
+            assert int(st_dp2["t"][i]) == int(st_i2["t"])
+            np.testing.assert_array_equal(
+                np.asarray(st_dp2["uid"][per * i : per * (i + 1)]),
+                np.asarray(st_i2["uid"]),
+            )

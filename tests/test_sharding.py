@@ -176,3 +176,54 @@ def test_beam_generate_invariant_to_tp_sharding(setup, dp, tp):
                         max_length=5, beam_size=2, mesh=mesh)
     )
     np.testing.assert_array_equal(base, got)
+
+
+def test_beam_generate_fused_dp_sharded(setup):
+    """The beam-aware fused kernel under a dp-only shard_map produces the
+    same best beams as the single-device fused path (beam state, ancestry
+    origin map and cache rows are all per-image-group local — the shard
+    split must be invisible)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.core.mesh import batch_sharding
+
+    ccfg, model, host_tr, batch = setup
+    emb = jnp.asarray(batch["image_embedding"])
+    mesh = create_mesh(MeshSpec(dp=4, tp=1))
+    emb_sharded = jax.device_put(emb, batch_sharding(mesh))
+    with pltpu.force_tpu_interpret_mode():
+        single = np.asarray(
+            C.beam_generate(model.trainable, model.frozen, ccfg, emb,
+                            max_length=6, beam_size=4, use_pallas_decode=True)
+        )
+        sharded = np.asarray(
+            C.beam_generate(model.trainable, model.frozen, ccfg, emb_sharded,
+                            max_length=6, beam_size=4, use_pallas_decode=True,
+                            mesh=mesh)
+        )
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_beam_generate_fused_int8_dp_sharded(setup):
+    """int8 W8A8 beam decode under the dp shard_map (packed int8 + scale
+    tiles replicated per shard) matches the single-device int8 beam path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.core.mesh import batch_sharding
+
+    ccfg, model, host_tr, batch = setup
+    emb = jnp.asarray(batch["image_embedding"])
+    mesh = create_mesh(MeshSpec(dp=4, tp=1))
+    emb_sharded = jax.device_put(emb, batch_sharding(mesh))
+    with pltpu.force_tpu_interpret_mode():
+        single = np.asarray(
+            C.beam_generate(model.trainable, model.frozen, ccfg, emb,
+                            max_length=6, beam_size=4, use_pallas_decode=True,
+                            decode_quant=True)
+        )
+        sharded = np.asarray(
+            C.beam_generate(model.trainable, model.frozen, ccfg, emb_sharded,
+                            max_length=6, beam_size=4, use_pallas_decode=True,
+                            decode_quant=True, mesh=mesh)
+        )
+    np.testing.assert_array_equal(single, sharded)
