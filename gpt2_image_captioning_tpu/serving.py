@@ -25,6 +25,7 @@ zero-dependency approach (``viz/server.py``).
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import time
@@ -296,6 +297,7 @@ class ContinuousCaptionService:
         sample_in_kernel: bool = False,
         seed: int = 0,
         spec=None,
+        pipeline_depth: int = 1,
     ):
         from gpt2_image_captioning_tpu.models import captioner as C
         from gpt2_image_captioning_tpu.models import continuous as CE
@@ -361,11 +363,20 @@ class ContinuousCaptionService:
             b *= 2
         self._buckets.append(self.q_cap)
 
+        if pipeline_depth < 1:
+            raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
+        # dispatch pipeline depth: how many macros may be in flight at once.
+        # depth 1 (default) overlaps macro N's output fetch with macro N+1's
+        # device time; depth 2 additionally keeps the device queue one macro
+        # deep so host-side staging/bookkeeping hiccups never starve it —
+        # at the cost of the host learning completions one macro later
+        # (slightly staler admission).  A/B: scripts/continuous_depth_ab.py.
+        self.pipeline_depth = pipeline_depth
         self._state = CE.init_state(cfg, slots, self.t_max, p, pol)
         # host bookkeeping: queue of submitted-but-unstaged requests, the
-        # one in-flight macro, and per-request token streams
+        # in-flight macro deque (newest right), and per-request token streams
         self._queue: list[tuple[int, np.ndarray, bool]] = []
-        self._inflight: tuple | None = None
+        self._inflight: collections.deque = collections.deque()
         self._live: set[int] = set()
         self._emitted: dict[int, list[int]] = {}
         self._req_max: dict[int, int] = {}
@@ -566,7 +577,7 @@ class ContinuousCaptionService:
             temperature=self.temperature, top_p=self.top_p,
             sampled=self.sampled, sample_in_kernel=self.sample_in_kernel,
         )
-        self._inflight = (out, entries)
+        self._inflight.append((out, entries))
         self._stats["macros"] += 1
         self._stats["dispatch_s"] += time.perf_counter() - td
 
@@ -636,35 +647,42 @@ class ContinuousCaptionService:
 
     def step(self) -> dict[int, str]:
         """Dispatch the next macro (if there is visible work), then harvest
-        the PREVIOUS one — its packed-output fetch and host bookkeeping
-        overlap the new macro's device execution (depth-1 pipeline).
+        down to ``pipeline_depth - 1`` older in-flight macros — their
+        packed-output fetches and host bookkeeping overlap the newest
+        macro's device execution.  At depth 1 this is dispatch-then-harvest-
+        previous; at depth 2 the device queue stays one whole macro deep, so
+        staging the next block never leaves the chip idle.
 
         When no work is visible on the host (queue and live both empty) but
-        a macro is still in flight, no new macro is dispatched: its harvest
-        may reveal admissions/re-queued entries, and the next :meth:`step`
-        dispatches then.  At most one tail macro runs over an all-dead pool.
+        macros are still in flight, no new macro is dispatched and ALL
+        in-flight output is harvested: it may reveal admissions/re-queued
+        entries, and the next :meth:`step` dispatches then.  At most
+        ``pipeline_depth`` tail macros run over an all-dead pool.
 
         Returns the requests completed during this call ({id: caption});
         they are also retained until popped via :meth:`pop_result`."""
         t0 = time.perf_counter()
         before = set(self._results)
-        prev, self._inflight = self._inflight, None
+        dispatched = False
         if self._queue or self._live:
             self._dispatch()
-        self._harvest(prev)
+            dispatched = True
+        keep = self.pipeline_depth if dispatched else 0
+        while len(self._inflight) > keep:
+            self._harvest(self._inflight.popleft())
         self._stats["device_s"] += time.perf_counter() - t0
         return {r: c for r, c in self._results.items() if r not in before}
 
     def drain(self) -> dict[int, str]:
-        """Run until the queue, the in-flight macro and every live request
+        """Run until the queue, every in-flight macro and every live request
         are exhausted."""
         # worst case (single-slot trickle): one request admits only when a
         # row frees, then needs ceil(max_length / tokens-per-macro) macros;
         # bound by requests × that, NOT by pool size (a large pool serving
         # one long request would otherwise hit the guard mid-progress)
         per_req = -(-self.max_length // (self.segment * self.bursts)) + 2
-        pending = self.queued + self.live + (1 if self._inflight else 0)
-        limit = 8 + (pending + 1) * per_req
+        pending = self.queued + self.live + len(self._inflight)
+        limit = 8 + self.pipeline_depth + (pending + 1) * per_req
         guard = 0
         while (self._queue or self._live or self._inflight) and guard < limit:
             guard += 1
@@ -921,8 +939,7 @@ def serve_http_continuous(
         rid_map: dict[int, _Pending] = {}
         while True:
             busy = bool(
-                rid_map or service.queued or service.live
-                or service._inflight is not None
+                rid_map or service.queued or service.live or service._inflight
             )
             try:
                 # block only when there is nothing to serve

@@ -626,3 +626,54 @@ def test_macro_step_dp_matches_independent_pools():
                 np.asarray(st_dp2["uid"][per * i : per * (i + 1)]),
                 np.asarray(st_i2["uid"]),
             )
+
+
+def test_continuous_pipeline_depth2_matches_one_shot():
+    """pipeline_depth=2 (two macros in flight) only changes scheduling:
+    every caption stays token-exact vs one-shot greedy, all requests drain,
+    and stats stay coherent."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=8, gpt_dim=32)
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    rng = np.random.default_rng(29)
+    embs = rng.normal(size=(9, 8)).astype(np.float32)
+
+    svc = ContinuousCaptionService(
+        model, None, None, slots=3, segment=2, bursts=2, admit=2,
+        max_length=6, pipeline_depth=2,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        want = model.generate_captions(
+            jnp.asarray(embs), max_length=6, temperature=0.0
+        )
+        rids = [svc.submit_embedding(e) for e in embs]
+        svc.drain()
+        got = [svc.pop_result(r) for r in rids]
+        assert got == want
+        assert svc.stats["images"] == 9
+        assert not svc._inflight and not svc.queued and not svc.live
+        # pool reusable after drain at depth 2 as well
+        rid = svc.submit_embedding(embs[0])
+        svc.drain()
+        assert svc.pop_result(rid) == want[0]
+
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        ContinuousCaptionService(
+            model, None, None, slots=3, max_length=6, pipeline_depth=0
+        )
