@@ -97,7 +97,14 @@ def _run_extraction(
             m = len(staged)
             if m == 0:
                 return
-            while len(staged) < device_chunks:  # pad the tail block
+            # pad the tail block by duplicating the last host batch: up to
+            # (device_chunks - 1) batches of encode compute are wasted once
+            # per extraction run — negligible at C=4, and one program shape
+            # keeps the dispatch pipeline hot.  Embeddings also stay on
+            # device until the single end-of-run sync below; if
+            # device_chunks ever grows large, prefer a smaller tail program
+            # or periodic fetches to bound device residency.
+            while len(staged) < device_chunks:
                 staged.append(staged[-1])
             out = encode_block(jnp.asarray(np.stack(staged)))
             for j in range(m):

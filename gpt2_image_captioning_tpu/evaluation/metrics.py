@@ -201,7 +201,7 @@ class Cider:
 
         ref_len = np.log(float(len(crefs)))
 
-        def counts2vec(cnts: Mapping[tuple, int]):
+        def tfidf_vectors(cnts: Mapping[tuple, int]):
             vec = [defaultdict(float) for _ in range(n)]
             norm = [0.0] * n
             length = 0
@@ -214,7 +214,7 @@ class Cider:
                     length += term_freq
             return vec, [np.sqrt(x) for x in norm], length
 
-        def sim(vec_h, vec_r, norm_h, norm_r, len_h, len_r) -> np.ndarray:
+        def clipped_cosine(vec_h, vec_r, norm_h, norm_r, len_h, len_r) -> np.ndarray:
             delta = float(len_h - len_r)
             val = np.zeros(n)
             for k in range(n):
@@ -228,11 +228,11 @@ class Cider:
 
         scores = []
         for test, refs in zip(ctest, crefs):
-            vec, norm, length = counts2vec(test)
+            vec, norm, length = tfidf_vectors(test)
             score = np.zeros(n)
             for ref in refs:
-                vec_r, norm_r, len_r = counts2vec(ref)
-                score += sim(vec, vec_r, norm, norm_r, length, len_r)
+                vec_r, norm_r, len_r = tfidf_vectors(ref)
+                score += clipped_cosine(vec, vec_r, norm, norm_r, length, len_r)
             scores.append(float(np.mean(score)) / len(refs) * 10.0)
         arr = np.array(scores)
         return float(np.mean(arr)), arr

@@ -818,7 +818,10 @@ def beam_generate(
         # int8 is a property of the fused kernel's packed W8A8 tiles; the XLA
         # beam path would silently run at the caller's precision.  Be loud
         # rather than mislabeling results (same contract as generate /
-        # evaluation.generation — ADVICE r2).
+        # evaluation.generation — ADVICE r2).  NB: this runs at TRACE time,
+        # so a long-lived process warns once per (shape, config) — later
+        # same-shape calls run silently at caller precision; the un-jitted
+        # serving/evaluation wrappers surface their own loud fallbacks.
         import warnings
 
         warnings.warn(

@@ -1010,8 +1010,12 @@ def fused_decode_step(
     ``beam_gather`` selects the in-kernel gather implementation:
     ``"onehot"`` (default — MXU permutation matmul, 1.65× the shift
     variant on-chip), ``"shift"`` / ``"fused_shift"`` (VPU shifted
-    selects; kept as fallbacks, env override ``GIC_BEAM_GATHER``).  All
-    three are exact and interpret-tested equal.  ``gather_start`` (static)
+    selects; kept as fallbacks, env override ``GIC_BEAM_GATHER``).  NB the
+    env var is read at TRACE time: under a jitted caller it binds when the
+    (shape, config) first compiles and is NOT part of the jit cache key, so
+    flipping it later in the same process silently reuses the compiled
+    executable — set it before the first call (A/B scripts clear jax caches
+    when flipping).  All three are exact and interpret-tested equal.  ``gather_start`` (static)
     skips the gather entirely for cache positions below it — callers must
     guarantee those rows are identical across each beam group (true for
     the shared image prefix: every beam descends from one prefill), which
