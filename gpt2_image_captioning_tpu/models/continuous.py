@@ -393,6 +393,12 @@ def init_state_dp(cfg: CaptionerConfig, dp: int, slots: int, t_max: int,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "policy", "seg", "bursts", "admit",
+                     "temperature", "top_p", "sampled", "sample_in_kernel"),
+    donate_argnums=(4,),
+)
 def macro_step_dp(
     mesh,
     packed: dict,

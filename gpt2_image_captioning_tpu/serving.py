@@ -274,6 +274,14 @@ class ContinuousCaptionService:
     Compiled-program inventory (all fixed-shape): ONE macro-step program,
     plus one vision-encode program per admission-block bucket (powers of
     two up to the staging block, only for image submissions).
+
+    Multi-chip: pass a dp-only ``mesh`` to shard the pool into dp
+    independent sub-pools (one per device) inside a single shard_map macro
+    program — requests round-robin across sub-pool queues, weights stay
+    replicated, the decode loop runs with zero collectives
+    (``models/continuous.py::macro_step_dp``).  Greedy captions remain
+    token-exact vs one-shot generate; sampled sub-pools use shard-folded
+    noise streams.
     """
 
     def __init__(
@@ -298,6 +306,7 @@ class ContinuousCaptionService:
         seed: int = 0,
         spec=None,
         pipeline_depth: int = 1,
+        mesh=None,
     ):
         from gpt2_image_captioning_tpu.models import captioner as C
         from gpt2_image_captioning_tpu.models import continuous as CE
@@ -313,10 +322,25 @@ class ContinuousCaptionService:
             vision_cfg, encoder, encode_fn, spec, pol
         )
         self._vparams = vision_params
+        # multi-chip serving: a dp-only Mesh shards the slot pool into
+        # dp independent sub-pools, each served by its own device inside ONE
+        # shard_map macro program (models/continuous.py::macro_step_dp).
+        # The host round-robins requests across sub-pool queues; weights and
+        # packed kernel tiles are replicated, so the decode loop runs with
+        # zero collectives.  Sampled sub-pools draw shard-folded noise
+        # streams (deterministic per (seed, submission order, mesh), but a
+        # different stream than the single-device engine).
+        self._mesh = mesh
+        self._dp = 1 if mesh is None else int(mesh.shape.get("dp", 1))
+        if mesh is not None and mesh.shape.get("tp", 1) != 1:
+            raise ValueError("ContinuousCaptionService meshes must be dp-only")
+        if slots % self._dp != 0:
+            raise ValueError(f"slots {slots} must divide over dp={self._dp}")
         self.slots = slots
         self.segment = segment
         self.bursts = bursts
-        self.admit = min(admit if admit is not None else 32, slots)
+        # admit is PER SUB-POOL (each device admits into its own rows)
+        self.admit = min(admit if admit is not None else 32, slots // self._dp)
         self.max_length = max_length
         self.temperature, self.top_p = float(temperature), float(top_p)
         # sampled mode compiles the emit-logits macro with PER-ROW
@@ -336,8 +360,11 @@ class ContinuousCaptionService:
                 f"sample_in_kernel needs top_p >= 0.5, got {self.top_p}"
             )
         self._rng = None if not self.sampled else jax.random.PRNGKey(seed)
+        # the kernel sees PER-DEVICE rows: key the 256-row tile packing off
+        # the sub-pool width, not the global slot count
         self._packed = C.prepare_decode_weights(
-            tr, fz, cfg, pol, quant=quant, tw=384 if slots % 256 == 0 else None
+            tr, fz, cfg, pol, quant=quant,
+            tw=384 if (slots // self._dp) % 256 == 0 else None,
         )
 
         # total prefix length (mapping output ⧺ optional task prefix)
@@ -354,8 +381,11 @@ class ContinuousCaptionService:
         need = p + max_length + bursts * segment
         t_max = max(t_max or 0, need)
         self.t_max = -(-t_max // 8) * 8
-        # staging block: everything one macro could possibly admit
-        self.q_cap = max(slots, min(bursts * self.admit, 4 * slots))
+        # staging block: everything one macro could possibly admit — sized
+        # per sub-pool, laid out as dp contiguous per-shard blocks
+        sp = slots // self._dp
+        self._q_per = max(sp, min(bursts * self.admit, 4 * sp))
+        self.q_cap = self._dp * self._q_per
         self._buckets = []
         b = 1
         while b < self.q_cap:
@@ -372,7 +402,11 @@ class ContinuousCaptionService:
         # at the cost of the host learning completions one macro later
         # (slightly staler admission).  A/B: scripts/continuous_depth_ab.py.
         self.pipeline_depth = pipeline_depth
-        self._state = CE.init_state(cfg, slots, self.t_max, p, pol)
+        self._state = (
+            CE.init_state(cfg, slots, self.t_max, p, pol)
+            if self._dp == 1
+            else CE.init_state_dp(cfg, self._dp, slots, self.t_max, p, pol)
+        )
         # host bookkeeping: queue of submitted-but-unstaged requests, the
         # in-flight macro deque (newest right), and per-request token streams
         self._queue: list[tuple[int, np.ndarray, bool]] = []
@@ -529,55 +563,81 @@ class ContinuousCaptionService:
         self._stats["images"] += 1
 
     def _dispatch(self) -> None:
-        """Stage a request block and enqueue one macro-step on device."""
+        """Stage a request block and enqueue one macro-step on device.
+
+        With a dp mesh, the staging matrix is ``dp`` contiguous per-shard
+        blocks of ``_q_per`` rows; entries round-robin across sub-pools so
+        queues stay balanced, and each sub-pool admits its own block in
+        order (``macro_step_dp``)."""
         td = time.perf_counter()
+        dp, qper = self._dp, self._q_per
         entries = self._queue[: self.q_cap]
         del self._queue[: len(entries)]
-        n = len(entries)
+        # staging row of entry i: shard (i % dp) block + within-shard slot
+        pos = [(i % dp) * qper + i // dp for i in range(len(entries))]
         emb_host = np.zeros((self.q_cap, self._emb_dim), np.float32)
-        img_rows = [i for i, (_, _, e) in enumerate(entries) if not e]
+        img_idx = [i for i, (_, _, e) in enumerate(entries) if not e]
         for i, (_, payload, is_emb) in enumerate(entries):
             if is_emb:
-                emb_host[i] = payload
+                emb_host[pos[i]] = payload
         emb_dev = jnp.asarray(emb_host)
-        if img_rows:
-            m = len(img_rows)
+        if img_idx:
+            m = len(img_idx)
             bucket = next(b for b in self._buckets if b >= m)
-            filler = entries[img_rows[0]][1]
+            filler = entries[img_idx[0]][1]
             u8 = np.stack(
-                [entries[i][1] for i in img_rows] + [filler] * (bucket - m)
+                [entries[i][1] for i in img_idx] + [filler] * (bucket - m)
             )
             enc = self._encode(self._vparams, jnp.asarray(u8))
             # pad the scatter rows to the bucket shape (out of bounds →
             # dropped) so each bucket compiles exactly once
             rows_pad = np.full((bucket,), self.q_cap, np.int64)
-            rows_pad[:m] = img_rows
+            rows_pad[:m] = [pos[i] for i in img_idx]
             emb_dev = emb_dev.at[jnp.asarray(rows_pad)].set(enc, mode="drop")
             # entries the macro fails to admit are re-queued by _harvest:
             # hand them back as EMBEDDING entries (device rows, no host
             # sync here) so a backlogged image is encoded exactly once
-            for j, i in enumerate(img_rows):
+            for j, i in enumerate(img_idx):
                 entries[i] = (entries[i][0], enc[j], True)
         caps = np.full((self.q_cap,), self.max_length, np.int32)
         uids = np.full((self.q_cap,), -1, np.int32)
         temps = np.full((self.q_cap,), self.temperature, np.float32)
         topps = np.full((self.q_cap,), self.top_p, np.float32)
         for i, (rid, _, _) in enumerate(entries):
-            caps[i] = self._req_max.get(rid, self.max_length)
-            uids[i] = rid
-            temps[i] = self._req_temp.get(rid, self.temperature)
-            topps[i] = self._req_topp.get(rid, self.top_p)
-        self._state, out = self._CE.macro_step(
-            self._packed, self._tr, self._fz, self._state,
-            emb_dev, jnp.asarray(caps), jnp.asarray(uids),
-            jnp.asarray(n, jnp.int32), self._rng,
-            jnp.asarray(temps), jnp.asarray(topps),
-            cfg=self.cfg, policy=self._pol, seg=self.segment,
-            bursts=self.bursts, admit=self.admit,
-            temperature=self.temperature, top_p=self.top_p,
-            sampled=self.sampled, sample_in_kernel=self.sample_in_kernel,
-        )
-        self._inflight.append((out, entries))
+            caps[pos[i]] = self._req_max.get(rid, self.max_length)
+            uids[pos[i]] = rid
+            temps[pos[i]] = self._req_temp.get(rid, self.temperature)
+            topps[pos[i]] = self._req_topp.get(rid, self.top_p)
+        # per-shard staged lists (original submission index kept so _harvest
+        # can restore FIFO order when re-queueing unreached entries)
+        shard_entries = [
+            [(i, entries[i]) for i in range(s, len(entries), dp)]
+            for s in range(dp)
+        ]
+        if dp == 1:
+            self._state, out = self._CE.macro_step(
+                self._packed, self._tr, self._fz, self._state,
+                emb_dev, jnp.asarray(caps), jnp.asarray(uids),
+                jnp.asarray(len(entries), jnp.int32), self._rng,
+                jnp.asarray(temps), jnp.asarray(topps),
+                cfg=self.cfg, policy=self._pol, seg=self.segment,
+                bursts=self.bursts, admit=self.admit,
+                temperature=self.temperature, top_p=self.top_p,
+                sampled=self.sampled, sample_in_kernel=self.sample_in_kernel,
+            )
+        else:
+            n_vec = np.asarray([len(se) for se in shard_entries], np.int32)
+            self._state, out = self._CE.macro_step_dp(
+                self._mesh, self._packed, self._tr, self._fz, self._state,
+                emb_dev, jnp.asarray(caps), jnp.asarray(uids),
+                jnp.asarray(n_vec), self._rng,
+                jnp.asarray(temps), jnp.asarray(topps),
+                cfg=self.cfg, policy=self._pol, seg=self.segment,
+                bursts=self.bursts, admit=self.admit,
+                temperature=self.temperature, top_p=self.top_p,
+                sampled=self.sampled, sample_in_kernel=self.sample_in_kernel,
+            )
+        self._inflight.append((out, shard_entries))
         self._stats["macros"] += 1
         self._stats["dispatch_s"] += time.perf_counter() - td
 
@@ -595,7 +655,7 @@ class ContinuousCaptionService:
         time order, truncated at the request's cap, completed at EOS/cap."""
         if inflight is None:
             return
-        out_dev, entries = inflight
+        out_dev, shard_entries = inflight
         ts = time.perf_counter()
         out = np.asarray(out_dev)  # ONE device→host fetch per macro
         th = time.perf_counter()
@@ -604,9 +664,9 @@ class ContinuousCaptionService:
         toks_mat, uid_mat = out[:, 0], out[:, 1]     # (T, S)
         adm_first, adm_uid = out[:, 2], out[:, 3]    # (T, S), -1-padded
         # admissions, in time order (np.nonzero is row-major == step-major;
-        # the engine left-aligns each step's admitted columns)
+        # the engine left-aligns each step's admitted columns — per sub-pool
+        # column block under a dp mesh)
         at_i, aa_i = np.nonzero(adm_uid >= 0)
-        consumed = int(at_i.size)
         for t_i, a_i in zip(at_i, aa_i):
             u = int(adm_uid[t_i, a_i])
             first = int(adm_first[t_i, a_i])
@@ -640,9 +700,17 @@ class ContinuousCaptionService:
                 stream.extend(take.tolist())
                 if len(stream) >= cap or (take.size and take[-1] == eos):
                     self._complete(u)
-        # entries the macro did not reach go back to the queue front
-        if consumed < len(entries):
-            self._queue[:0] = entries[consumed:]
+        # entries the macro did not reach go back to the queue front: each
+        # sub-pool consumes its staged block in order, so shard s's consumed
+        # count is the number of admissions in its slot-column block
+        sp = self.slots // self._dp
+        leftovers = []
+        for s, ents in enumerate(shard_entries):
+            consumed_s = int((adm_uid[:, s * sp : (s + 1) * sp] >= 0).sum())
+            leftovers.extend(ents[consumed_s:])
+        if leftovers:
+            leftovers.sort(key=lambda t: t[0])  # restore submission order
+            self._queue[:0] = [e for _, e in leftovers]
         self._stats["host_s"] += time.perf_counter() - th
 
     def step(self) -> dict[int, str]:

@@ -677,3 +677,64 @@ def test_continuous_pipeline_depth2_matches_one_shot():
         ContinuousCaptionService(
             model, None, None, slots=3, max_length=6, pipeline_depth=0
         )
+
+
+def test_continuous_service_dp_mesh_matches_one_shot():
+    """Multi-chip continuous serving (dp=4 sub-pools via macro_step_dp):
+    greedy captions stay token-exact vs one-shot generate, per-request
+    max_length caps hold, unreached entries re-queue correctly, and the
+    pool drains + stays reusable."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=8, gpt_dim=32)
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    rng = np.random.default_rng(31)
+    embs = rng.normal(size=(11, 8)).astype(np.float32)
+    mesh = create_mesh(MeshSpec(dp=4, tp=1))
+
+    svc = ContinuousCaptionService(
+        model, None, None, slots=8, segment=2, bursts=2, admit=2,
+        max_length=6, mesh=mesh,
+    )
+    assert svc._dp == 4 and svc.q_cap % 4 == 0
+    with pltpu.force_tpu_interpret_mode():
+        want = model.generate_captions(
+            jnp.asarray(embs), max_length=6, temperature=0.0
+        )
+        rids = [svc.submit_embedding(e) for e in embs]
+        rid_cap = svc.submit_embedding(embs[0], max_length=3)
+        svc.drain()
+        got = [svc.pop_result(r) for r in rids]
+        assert got == want
+        ids0 = np.asarray(
+            model.generate(jnp.asarray(embs[:1]), max_length=6, temperature=0.0)
+        )
+        assert svc.pop_result(rid_cap) == tok.batch_decode(
+            ids0[:, :3], skip_special_tokens=True
+        )[0]
+        assert not svc._inflight and not svc.queued and not svc.live
+        # reusable pool after drain
+        rid = svc.submit_embedding(embs[1])
+        svc.drain()
+        assert svc.pop_result(rid) == want[1]
+
+    with pytest.raises(ValueError, match="divide over dp"):
+        ContinuousCaptionService(
+            model, None, None, slots=6, max_length=6, mesh=mesh
+        )
