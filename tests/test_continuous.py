@@ -738,3 +738,86 @@ def test_continuous_service_dp_mesh_matches_one_shot():
         ContinuousCaptionService(
             model, None, None, slots=6, max_length=6, mesh=mesh
         )
+
+
+def test_continuous_service_dp_mesh_images_and_sampled():
+    """dp-mesh service with IMAGE submissions (encode scatter must land in
+    the round-robin staging rows, not submission order) mixed with
+    embeddings; plus sampled dp serving: deterministic per (seed,
+    submission order, mesh), fresh stream across seeds, near-zero
+    temperature reproduces greedy."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
+    from gpt2_image_captioning_tpu.core.precision import F32
+    from gpt2_image_captioning_tpu.embeddings.preprocess import (
+        normalize_on_device, resize_and_crop,
+    )
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import clip as CL
+    from gpt2_image_captioning_tpu.models import mapping as M
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    vcfg = CL.CLIPVisionConfig.tiny()
+    vparams = CL.init_vision(jax.random.PRNGKey(0), vcfg)
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    mcfg = M.MLPMappingConfig(
+        prefix_length=2, embed_dim=vcfg.projection_dim, gpt_dim=32
+    )
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    mesh = create_mesh(MeshSpec(dp=4, tp=1))
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        rng.integers(0, 255, size=(40 + 3 * i, 48 - 2 * i, 3)).astype(np.uint8)
+        for i in range(6)
+    ]
+    svc = ContinuousCaptionService(
+        model, vparams, vcfg, encoder="clip", slots=8, segment=2, bursts=2,
+        admit=2, max_length=6, mesh=mesh,
+    )
+    u8 = np.stack([resize_and_crop(im, svc.spec) for im in imgs])
+
+    @jax.jit
+    def enc(vp, batch):
+        px = normalize_on_device(batch, svc.spec)
+        return CL.encode_image(vp, vcfg, px, policy=F32, normalize=True)
+
+    emb = enc(vparams, jnp.asarray(u8))
+    with pltpu.force_tpu_interpret_mode():
+        want = model.generate_captions(emb, max_length=6, temperature=0.0)
+        # interleave image and embedding submissions so staging rows are
+        # round-robin-permuted relative to submission order
+        rids = []
+        for i in range(6):
+            if i % 2 == 0:
+                rids.append(svc.submit_array(imgs[i]))
+            else:
+                rids.append(svc.submit_embedding(np.asarray(emb[i])))
+        svc.drain()
+        assert [svc.pop_result(r) for r in rids] == want
+
+    def run_sampled(seed, temperature=1.0):
+        s = ContinuousCaptionService(
+            model, None, None, slots=8, segment=2, bursts=2, admit=2,
+            max_length=6, temperature=temperature, top_p=0.9, seed=seed,
+            mesh=mesh,
+        )
+        rs = [s.submit_embedding(np.asarray(e)) for e in emb]
+        s.drain()
+        return [s.pop_result(r) for r in rs]
+
+    with pltpu.force_tpu_interpret_mode():
+        assert run_sampled(0, temperature=1e-4) == want  # argmax limit
+        a1, a2, b = run_sampled(3), run_sampled(3), run_sampled(4)
+        assert a1 == a2
+        assert b != a1
