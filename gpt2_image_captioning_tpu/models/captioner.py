@@ -1133,6 +1133,7 @@ class ImageCaptioningModel:
         top_p: float = 0.9,
         rng: jax.Array | None = None,
         decode_precision: str | None = None,
+        mesh=None,
     ) -> jnp.ndarray:
         """``decode_precision="bf16"`` stores the weights in bfloat16 for the
         decode (half the HBM bytes/step → +25% throughput measured at b=128);
@@ -1140,7 +1141,12 @@ class ImageCaptioningModel:
         per-column-quantized int8 (W8A8: activations quantized per row in
         kernel) — halving the dominant weight-traffic term again (see
         docs/PERF_NOTES.md; token drift vs f32 is quantization noise,
-        serving opt-in).  Default keeps full f32 reference parity."""
+        serving opt-in).  Default keeps full f32 reference parity.
+
+        ``mesh`` — a ``(dp, tp)`` Mesh for multi-chip decode (see the
+        module-level :func:`generate`): dp-only meshes with
+        ``b % dp == 0`` keep the fused kernel (shard_map over the batch);
+        anything else partitions the XLA path via GSPMD."""
         quant = decode_precision == "int8"
         tr, fz, pol = self.decode_params("bf16" if quant else decode_precision)
         packed = None
@@ -1171,6 +1177,7 @@ class ImageCaptioningModel:
             policy=pol,
             packed=packed,
             decode_quant=quant,
+            mesh=mesh,
         )
 
     def decode_params(self, decode_precision: str | None = None):

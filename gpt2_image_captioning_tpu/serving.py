@@ -112,6 +112,7 @@ class CaptionService:
         policy=None,
         spec=None,
         rng: jax.Array | None = None,
+        mesh=None,
     ):
         from gpt2_image_captioning_tpu.core.precision import BF16
 
@@ -120,6 +121,17 @@ class CaptionService:
         self.spec, self._encode = _make_frontend(
             vision_cfg, encoder, encode_fn, spec, policy
         )
+        # multi-chip fixed-batch serving: a dp-only Mesh dp-shards both the
+        # vision encode (GSPMD over the sharded pixel batch) and the decode
+        # (generate's fused dp shard_map path — batch_size % dp must hold so
+        # every serving chunk splits evenly); tp>1 meshes run generate's
+        # GSPMD tensor-parallel decode instead.
+        self._mesh = mesh
+        if mesh is not None and batch_size % int(mesh.shape.get("dp", 1)) != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over dp="
+                f"{mesh.shape.get('dp', 1)}"
+            )
         self.batch_size = batch_size
         self.max_length = max_length
         self.temperature = temperature
@@ -168,7 +180,17 @@ class CaptionService:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], self.batch_size - k, axis=0)]
                 )
-            emb = self._encode(self._vparams, jnp.asarray(chunk))
+            pixels = jnp.asarray(chunk)
+            if self._mesh is not None and self._mesh.shape.get("dp", 1) > 1:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as _P
+
+                # dp-shard the pixel batch so XLA runs the encode tower
+                # data-parallel across the mesh (weights replicated)
+                pixels = jax.device_put(
+                    pixels, NamedSharding(self._mesh, _P("dp"))
+                )
+            emb = self._encode(self._vparams, pixels)
             caps = self.model.generate_captions(
                 emb,
                 max_length=self.max_length,
@@ -176,6 +198,7 @@ class CaptionService:
                 top_p=self.top_p,
                 rng=self._next_rng(),
                 decode_precision=self.decode_precision,
+                mesh=self._mesh,
             )
             captions.extend(caps[:k])
         self._stats["images"] += n

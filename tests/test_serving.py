@@ -382,3 +382,31 @@ def test_http_continuous_endpoint(service):
         finally:
             server.shutdown()
             server.server_close()
+
+
+def test_service_dp_mesh_matches_single_device(service):
+    """CaptionService with a dp-only mesh: the encode batch is dp-sharded and
+    the decode runs generate's fused dp shard_map path — captions must match
+    the single-device service exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
+    from gpt2_image_captioning_tpu.core.precision import F32
+
+    svc, vparams, vcfg, model = service
+    mesh = create_mesh(MeshSpec(dp=4, tp=1))
+    dsvc = CaptionService(
+        model, vparams, vcfg, encoder="clip", batch_size=4, max_length=6,
+        temperature=0.0, top_p=1.0, policy=F32, mesh=mesh,
+    )
+    rng = np.random.default_rng(2)
+    imgs = _imgs(6, rng)  # spans two device batches, padded tail
+    with pltpu.force_tpu_interpret_mode():
+        got = dsvc.caption_arrays(imgs)
+    want = svc.caption_arrays(_imgs(6, np.random.default_rng(2)))
+    assert got == want
+
+    with pytest.raises(ValueError, match="divide over dp"):
+        CaptionService(
+            model, vparams, vcfg, encoder="clip", batch_size=6, mesh=mesh
+        )
