@@ -821,3 +821,47 @@ def test_continuous_service_dp_mesh_images_and_sampled():
         a1, a2, b = run_sampled(3), run_sampled(3), run_sampled(4)
         assert a1 == a2
         assert b != a1
+
+
+def test_continuous_service_dp_mesh_int8():
+    """dp-mesh continuous serving composes with decode_precision="int8":
+    the replicated W8A8 packed tiles feed every sub-pool's kernel and
+    captions match the one-shot int8 fused decode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import mapping as M
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=8, gpt_dim=32)
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    rng = np.random.default_rng(17)
+    embs = rng.normal(size=(7, 8)).astype(np.float32)
+    mesh = create_mesh(MeshSpec(dp=4, tp=1))
+
+    with pltpu.force_tpu_interpret_mode():
+        tr, fz, pol = model.decode_params("bf16")
+        ids = np.asarray(C.generate(
+            tr, fz, ccfg, jnp.asarray(embs), max_length=6, temperature=0.0,
+            top_p=1.0, policy=pol, decode_quant=True,
+        ))
+        want = tok.batch_decode(ids, skip_special_tokens=True)
+
+        svc = ContinuousCaptionService(
+            model, None, None, slots=8, segment=2, bursts=2, admit=2,
+            max_length=6, decode_precision="int8", mesh=mesh,
+        )
+        rids = [svc.submit_embedding(e) for e in embs]
+        svc.drain()
+        assert [svc.pop_result(r) for r in rids] == want
