@@ -39,6 +39,7 @@ def log(m):
 _CHIP_PEAKS = {
     "v5e": {"bf16_flops": 197e12, "int8_ops": 394e12, "hbm_Bps": 819e9},
     "v5litepod": {"bf16_flops": 197e12, "int8_ops": 394e12, "hbm_Bps": 819e9},
+    "v5lite": {"bf16_flops": 197e12, "int8_ops": 394e12, "hbm_Bps": 819e9},
 }
 
 
