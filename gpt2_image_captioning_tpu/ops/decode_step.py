@@ -136,9 +136,13 @@ def _step_kernel(
     #   HBM weights (pre-tiled): qkvw (L, NT_qkv, D, TW), projw, fcw,
     #       cprojw (tiles int8 in quant mode), wtet (NT_v, D, VW)
     #   kc_in, vc_in — (L, Tpad, B, D) caches, aliased to the outputs
+    #   [ks_in, vs_in] — (cache_quant only) (L, Tpad/CT, CT, B) f32 KV
+    #       scales, chunk-major like origin (same tiled-slice rules)
     #   outputs: tok (BB, 1) int32 — or (NT_v, BP, VW) f32 when emit_logits —
     #       or [vals (BB, K) f32, idxs (BB, K) i32, lse (BB, 1) f32] when
-    #       topk > 0; then kc, vc aliased caches (row idx written in place)
+    #       topk > 0; then kc, vc aliased caches (row idx written in place);
+    #       then (cache_quant only) nsk, nsv (L, BB) f32 new-row scales
+    #       (folded into the scale arrays by the wrapper's XLA DUS)
     #   scratch: wbuf (2, D, TW) int8|cdt; vwbuf (2, D, VW) int8|cdt;
     #       kbuf, vbuf (2, CT, BB, D) cache dtype; knbuf, vnbuf (BB, D);
     #       lbuf (2, BB, VW) f32; 6 DMA semaphore pairs
@@ -189,9 +193,9 @@ def _step_kernel(
     else:
         tok_ref, tki_ref, lse_ref = next(it), None, None
     kc_ref, vc_ref = next(it), next(it)
-    ks_ref = vs_ref = None
+    nsk_ref = nsv_ref = None
     if cache_quant:
-        ks_ref, vs_ref = next(it), next(it)
+        nsk_ref, nsv_ref = next(it), next(it)  # (L, BB) new-row scale outs
     wbuf, vwbuf, kbuf, vbuf, knbuf, vnbuf, lbuf = (
         next(it), next(it), next(it), next(it), next(it), next(it), next(it)
     )
@@ -206,10 +210,10 @@ def _step_kernel(
     obuf = osem = None
     if beam_k:
         obuf, osem = next(it), next(it)
-    ksbuf = vsbuf = ksnbuf = vsnbuf = kssem = vssem = None
+    ksbuf = vsbuf = kssem = vssem = None
     if cache_quant:
-        ksbuf, vsbuf, ksnbuf, vsnbuf, kssem, vssem = (
-            next(it), next(it), next(it), next(it), next(it), next(it)
+        ksbuf, vsbuf, kssem, vssem = (
+            next(it), next(it), next(it), next(it)
         )
 
     bi = pl.program_id(0)
@@ -286,8 +290,17 @@ def _step_kernel(
         scale in the (L, Tpad, B) side arrays: the new row is quantized
         before its write, chunk reads DMA the matching scale chunk and fold
         the dequant multiply into the elementwise products the math already
-        does.  The epilogue uses the exact (pre-quantization) kn/vn."""
-        wr_dmas = []
+        does.  The epilogue uses the exact (pre-quantization) kn/vn.
+
+        The new row's SCALES are not DMA'd into the side arrays here: a
+        size-1 sublane (T) slice of the tiled (L, Tpad, B) memref is only
+        legal with a full lane window, so any multi-row-block batch
+        (b > 128, partial ``pl.ds(bi*bb, bb)`` lane stripe) trips Mosaic's
+        "slice shape along dimension 1 must be aligned to tiling (8)" —
+        in either memory space.  Instead they land in the small (L, BB)
+        VMEM outputs ``nsk_ref``/``nsv_ref`` and the wrapper folds them
+        into the arrays with one alignment-free XLA dynamic_update_slice
+        per step (also deletes two DMAs per layer)."""
         if cache_quant:
             knf = kn.astype(jnp.float32)
             vnf = vn.astype(jnp.float32)
@@ -299,18 +312,8 @@ def _step_kernel(
             )
             knbuf[...] = jnp.round(knf / kns[:, None]).astype(jnp.int8)
             vnbuf[...] = jnp.round(vnf / vns[:, None]).astype(jnp.int8)
-            ksnbuf[0, :] = kns
-            vsnbuf[0, :] = vns
-            wr_dmas = [
-                pltpu.make_async_copy(
-                    ksnbuf, ks_ref.at[l, pl.ds(idx, 1), pl.ds(bi * bb, bb)],
-                    wrsem.at[2],
-                ),
-                pltpu.make_async_copy(
-                    vsnbuf, vs_ref.at[l, pl.ds(idx, 1), pl.ds(bi * bb, bb)],
-                    wrsem.at[3],
-                ),
-            ]
+            nsk_ref[l, :] = kns
+            nsv_ref[l, :] = vns
         else:
             knbuf[...] = kn.astype(knbuf.dtype)
             vnbuf[...] = vn.astype(vnbuf.dtype)
@@ -322,8 +325,6 @@ def _step_kernel(
         )
         kw_dma.start()
         vw_out_dma.start()
-        for dma in wr_dmas:
-            dma.start()
 
         def k_dma(slot, c):
             return pltpu.make_async_copy(
@@ -340,15 +341,22 @@ def _step_kernel(
             )
 
         def ks_dma(slot, c):
+            # reads come from the INPUT scale arrays, chunk-major 4D
+            # (L, T/ct, ct, B) like the beam origin map, so each chunk is a
+            # full-extent sublane plane (a (ct, bb) slice of a (L, Tpad, B)
+            # layout would need ct % 8 == 0 — illegal at the 256-row
+            # config's ct=4).  The walk only covers rows < idx, whose
+            # scales predate this step; the new row's scale goes out via
+            # nsk_ref/nsv_ref — see the docstring above.
             return pltpu.make_async_copy(
-                ks_ref.at[l, pl.ds(c * ct, ct), pl.ds(bi * bb, bb)],
+                ks_in.at[l, c, :, pl.ds(bi * bb, bb)],
                 ksbuf.at[slot],
                 kssem.at[slot],
             )
 
         def vs_dma(slot, c):
             return pltpu.make_async_copy(
-                vs_ref.at[l, pl.ds(c * ct, ct), pl.ds(bi * bb, bb)],
+                vs_in.at[l, c, :, pl.ds(bi * bb, bb)],
                 vsbuf.at[slot],
                 vssem.at[slot],
             )
@@ -499,8 +507,6 @@ def _step_kernel(
         l_e = jnp.dot(l_f, he_ref[...], preferred_element_type=jnp.float32)
         kw_dma.wait()
         vw_out_dma.wait()
-        for dma in wr_dmas:
-            dma.wait()
         return acc / l_e
 
     # output widths are tile-padded; biases arrive pre-padded, results sliced.
@@ -1215,7 +1221,10 @@ def fused_decode_step(
             pl.BlockSpec(memory_space=pl.ANY),  # k_cache
             pl.BlockSpec(memory_space=pl.ANY),  # v_cache
             *(
-                [pl.BlockSpec(memory_space=pl.ANY)] * 2  # k_scale, v_scale
+                # k_scale, v_scale — chunk-major 4D (L, T/ct, ct, B), read
+                # one full (ct, bb) plane per chunk DMA (see ks_dma for the
+                # Mosaic tiled-slice rules that force this layout)
+                [pl.BlockSpec(memory_space=pl.ANY)] * 2
                 if cache_quant
                 else []
             ),
@@ -1241,7 +1250,15 @@ def fused_decode_step(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             *(
-                [pl.BlockSpec(memory_space=pl.ANY)] * 2
+                # new-row K/V scales, one (L, BB) stripe per grid program —
+                # plain VMEM stores; the wrapper dynamic_update_slices them
+                # into the (L, Tpad, B) arrays (no tiled-slice constraints)
+                [
+                    pl.BlockSpec(
+                        (n_layer, bb), lambda bi, s: (0, bi),
+                        memory_space=pltpu.VMEM,
+                    )
+                ] * 2
                 if cache_quant
                 else []
             ),
@@ -1263,7 +1280,7 @@ def fused_decode_step(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),  # wrsem: K/V row writes
             pltpu.SemaphoreType.DMA((2,)),
             *(
                 # sample mode: per-candidate round results (masses + fresh
@@ -1286,8 +1303,6 @@ def fused_decode_step(
                 [
                     pltpu.VMEM((2, ct, bb), jnp.float32),
                     pltpu.VMEM((2, ct, bb), jnp.float32),
-                    pltpu.VMEM((1, bb), jnp.float32),
-                    pltpu.VMEM((1, bb), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2,)),
                 ]
@@ -1322,13 +1337,17 @@ def fused_decode_step(
     ]
     cache_args = [k_cache, v_cache]
     if cache_quant:
-        aliases[n_in + 2] = n_head_out + 2
-        aliases[n_in + 3] = n_head_out + 3
+        # scales go in chunk-major 4D (see ks_dma) and are NOT aliased
+        # outputs: the kernel emits only the new row's (L, bp) scales,
+        # folded back below with one XLA dynamic_update_slice
         out_shapes += [
-            jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
-            jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_layer, bp), jnp.float32),
+            jax.ShapeDtypeStruct((n_layer, bp), jnp.float32),
         ]
-        cache_args += [k_scale, v_scale]
+        cache_args += [
+            k_scale.reshape(n_layer, tpad // ct, ct, bp),
+            v_scale.reshape(n_layer, tpad // ct, ct, bp),
+        ]
     extra = {}
     if do_sample or (emit_logits and bb > BLOCK_B):
         # the greedy 256-row config already sits ~0.4 MB under the default
@@ -1382,7 +1401,18 @@ def fused_decode_step(
     else:
         head = outs[0][:b, 0]
     if cache_quant:
-        ks, vs = outs[n_head_out + 2], outs[n_head_out + 3]
+        # fold the new row's scales into the (L, Tpad, B) arrays — one
+        # alignment-free XLA dynamic_update_slice per step (k_scale/v_scale
+        # here are the batch-padded copies; slice the pad back off after)
+        nsk, nsv = outs[n_head_out + 2], outs[n_head_out + 3]
+        zero = jnp.zeros((), jnp.int32)
+        idx32 = jnp.asarray(idx, jnp.int32).reshape(())
+        ks = jax.lax.dynamic_update_slice(
+            k_scale, nsk[:, None, :], (zero, idx32, zero)
+        )
+        vs = jax.lax.dynamic_update_slice(
+            v_scale, nsv[:, None, :], (zero, idx32, zero)
+        )
         if pad_b:
             ks = ks[:, :, :b]
             vs = vs[:, :, :b]
