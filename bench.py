@@ -7,35 +7,57 @@ sequence per generated token, ``/root/reference/src/models.py:389-395``)
 running on the SAME chip — i.e. ``vs_baseline`` isolates the framework's
 algorithmic/compilation win at equal hardware and numerics.
 
-Every leg is fault-isolated (round-4): a leg that raises records its error
-string under ``extras.errors`` and the run continues — the final JSON line
-ALWAYS prints.  ``INTERNAL`` backend errors (the tunnel/backend transient
-class documented in CLAUDE.md rule 7 and the BENCH_r03 post-mortem) get one
-retry after a cooldown.
+Timeout-proof by construction (round-5; the reference's own methodology
+section is "WIP", ``/root/reference/README.md:188-190`` — this artifact is
+what that section should have been):
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N, ...}
+- **Incremental emission**: the COMPLETE summary JSON line (same schema,
+  extras-so-far) prints after EVERY leg, so a driver that kills the run at
+  any point still parses a valid result from the last stdout line.
+- **Wall-clock budget**: ``GIC_BENCH_BUDGET_S`` (default 2400 s).  Legs that
+  would start past the budget are skipped and recorded under
+  ``extras.skipped_over_budget``; the final JSON always prints.
+- **Value-first leg order**: headline (greedy) → baseline → train →
+  int8/b512 serving peak → beam → encoders → continuous, so an early kill
+  loses the least important numbers.
+- **Compile cache**: JAX's persistent compilation cache is enabled (best
+  effort) so a re-run reuses executables instead of re-paying the
+  tunnel-dominated compile wall time.
+
+Every leg is fault-isolated (round-4): a leg that raises records its error
+string under ``extras.errors`` and the run continues.  ``INTERNAL`` backend
+errors (the tunnel/backend transient class documented in CLAUDE.md rule 7 and
+the BENCH_r03 post-mortem) get one retry after a ``GIC_BENCH_COOLDOWN_S``
+(default 120 s) cooldown — skipped when the remaining budget cannot afford it.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-COOLDOWN_S = 240  # CLAUDE.md rule 7: transients recover after ~5 min cool-down
+BUDGET_S = float(os.environ.get("GIC_BENCH_BUDGET_S", "2400"))
+COOLDOWN_S = float(os.environ.get("GIC_BENCH_COOLDOWN_S", "120"))
+T_START = time.monotonic()
+
+
+def elapsed() -> float:
+    return time.monotonic() - T_START
 
 
 def log(m):
-    print(f"[bench] {m}", file=sys.stderr, flush=True)
+    print(f"[bench {elapsed():6.0f}s] {m}", file=sys.stderr, flush=True)
 
 
 # --- peak-rate constants for the MFU/roofline extras -----------------------
-# TPU v5e (the chip this framework benches on): 197 TFLOP/s bf16 MXU peak,
-# 394 TOP/s int8, ~819 GB/s HBM.  Unknown device kinds fall back to these
-# and say so (the pct-of-peak keys are then labelled approximate).
+# TPU v5e (the chip this framework benches on; the axon tunnel reports
+# device_kind "TPU v5 lite"): 197 TFLOP/s bf16 MXU peak, 394 TOP/s int8,
+# ~819 GB/s HBM.  Unknown device kinds fall back to these and say so (the
+# pct-of-peak keys are then labelled approximate).
 _CHIP_PEAKS = {
     "v5e": {"bf16_flops": 197e12, "int8_ops": 394e12, "hbm_Bps": 819e9},
     "v5litepod": {"bf16_flops": 197e12, "int8_ops": 394e12, "hbm_Bps": 819e9},
@@ -49,6 +71,25 @@ def chip_peaks(device_kind: str) -> tuple[dict, bool]:
         if key in dk:
             return peaks, True
     return _CHIP_PEAKS["v5e"], False
+
+
+def enable_compile_cache() -> bool:
+    """Best-effort persistent compilation cache (saves the ~20-40 s per-leg
+    first-compile over the tunnel on re-runs).  Not all PJRT backends can
+    serialize executables — failure to enable is non-fatal."""
+    try:
+        import jax
+
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception as e:  # noqa: BLE001 — cache is an optimization only
+        log(f"compile cache unavailable: {type(e).__name__}: {e}")
+        return False
 
 
 def gpt2_block_params(d: int, n_layer: int) -> int:
@@ -94,35 +135,15 @@ def main() -> None:
 
     from gpt2_image_captioning_tpu.core.precision import BF16
     from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import clip as CL
     from gpt2_image_captioning_tpu.models import gpt2 as G
     from gpt2_image_captioning_tpu.models import mapping as M
 
     extras: dict = {}
     errors: dict = {}
     headline: dict = {"value": None, "vs_baseline": None, "baseline_img_s": None}
-
-    def leg(name, fn):
-        """Fault-isolated leg: one retry after cooldown on backend INTERNAL
-        errors (BENCH_r03 died at the int8 leg with zero isolation — the
-        headline and every later leg were lost; never again)."""
-        try:
-            return fn()
-        except Exception as e:  # noqa: BLE001 — isolation is the point
-            msg = f"{type(e).__name__}: {e}"
-            transient = "INTERNAL" in msg or "DEADLINE" in msg or "UNAVAILABLE" in msg
-            log(f"leg {name} FAILED: {msg[:300]}")
-            if transient:
-                log(f"leg {name}: backend transient — cooling {COOLDOWN_S}s, one retry")
-                time.sleep(COOLDOWN_S)
-                try:
-                    out = fn()
-                    extras.setdefault("retried_legs", []).append(name)
-                    return out
-                except Exception as e2:  # noqa: BLE001
-                    msg = f"retry: {type(e2).__name__}: {e2}"
-                    log(f"leg {name} retry FAILED: {msg[:300]}")
-            errors[name] = msg[:400]
-            return None
+    if enable_compile_cache():
+        extras["compile_cache"] = "on"
 
     policy = BF16
     gcfg = G.GPT2Config.gpt2_124m()
@@ -142,7 +163,71 @@ def main() -> None:
         np.random.default_rng(0).normal(size=(batch, 512)).astype(np.float32)
     )
     device_kind = jax.devices()[0].device_kind
+    device_str = str(jax.devices()[0])
     peaks, peaks_known = chip_peaks(device_kind)
+
+    def emit() -> None:
+        """Print the complete current summary JSON as one line.  Called after
+        EVERY leg: the last stdout line is always a full, parseable artifact
+        no matter where the process is killed (the r3 crash and r4 driver
+        timeout both produced parsed=null under the old end-only print)."""
+        vs = None
+        if headline["value"] is not None and headline["baseline_img_s"]:
+            vs = round(headline["value"] / headline["baseline_img_s"], 2)
+        ex = dict(extras)
+        if errors:
+            ex["errors"] = dict(errors)
+        if not peaks_known:
+            ex["mfu_note"] = (
+                f"unrecognized device_kind {device_kind!r}; pct-of-peak keys "
+                "assume TPU v5e rates"
+            )
+        ex["bench_elapsed_s"] = round(elapsed(), 1)
+        print(
+            json.dumps(
+                {
+                    "metric": "caption_decode_throughput_gpt2_124m_b128_len50",
+                    "value": round(headline["value"], 2) if headline["value"] else None,
+                    "unit": "img/s",
+                    "vs_baseline": vs,
+                    "baseline": {
+                        "what": "reference decode algorithm (uncached full re-forward/step) on the same chip",
+                        "img_s": round(headline["baseline_img_s"], 2)
+                        if headline["baseline_img_s"] else None,
+                    },
+                    "extras": ex,
+                    "device": device_str,
+                }
+            ),
+            flush=True,
+        )
+
+    def run_leg(name, fn):
+        """Fault-isolated leg: one retry after cooldown on backend INTERNAL
+        errors (BENCH_r03 died at the int8 leg with zero isolation — the
+        headline and every later leg were lost; never again).  The retry is
+        skipped when the remaining budget cannot cover cooldown + a rerun."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            msg = f"{type(e).__name__}: {e}"
+            transient = "INTERNAL" in msg or "DEADLINE" in msg or "UNAVAILABLE" in msg
+            log(f"leg {name} FAILED: {msg[:300]}")
+            affordable = elapsed() + COOLDOWN_S + 120 < BUDGET_S
+            if transient and affordable:
+                log(f"leg {name}: backend transient — cooling {COOLDOWN_S:.0f}s, one retry")
+                time.sleep(COOLDOWN_S)
+                try:
+                    out = fn()
+                    extras.setdefault("retried_legs", []).append(name)
+                    return out
+                except Exception as e2:  # noqa: BLE001
+                    msg = f"retry: {type(e2).__name__}: {e2}"
+                    log(f"leg {name} retry FAILED: {msg[:300]}")
+            elif transient:
+                msg += " (retry skipped: over budget)"
+            errors[name] = msg[:400]
+            return None
 
     def timed_batches(fn, n_items, reps=8):
         """Pipelined throughput: dispatch back-to-back, sync at the end.
@@ -178,174 +263,6 @@ def main() -> None:
             (time.perf_counter() - t0) / 3 * 1000, 1
         )
         log(f"greedy decode: {img_s:.0f} img/s")
-
-    leg("greedy", leg_greedy)
-
-    # --- marginal decode step + HBM roofline (round-4 MFU table) -----------
-    def leg_marginal():
-        short_len = 26
-
-        def ours_short():
-            return C.generate(
-                trainable, frozen, ccfg, emb,
-                max_length=short_len, temperature=0.0, top_p=1.0,
-                policy=policy, packed=packed,
-            )
-
-        log("compiling len-26 decode for the marginal-step measurement...")
-        _, t_short = timed_batches(ours_short, batch)
-        if headline["value"] is None:
-            return
-        t_long = batch / headline["value"]
-        step_ms = (t_long - t_short) / (max_len - short_len) * 1000
-        # analytic HBM floor of one fused decode step at this config:
-        # block weight stream + tied-vocab logits walk + avg valid KV read
-        d, L, V = gcfg.n_embd, gcfg.n_layer, gcfg.vocab_size
-        wbytes = gpt2_block_params(d, L) * 2 + V * d * 2
-        avg_t = mcfg.prefix_length + max_len // 2
-        kvbytes = 2 * L * d * 2 * batch * avg_t
-        floor_ms = (wbytes + kvbytes) / peaks["hbm_Bps"] * 1000
-        extras["decode_marginal_step_ms_b128"] = round(step_ms, 3)
-        extras["decode_step_hbm_floor_ms"] = round(floor_ms, 3)
-        extras["decode_step_pct_of_hbm_floor"] = round(floor_ms / step_ms * 100, 1)
-        log(
-            f"marginal decode step {step_ms:.3f} ms vs HBM floor {floor_ms:.3f} ms "
-            f"({floor_ms / step_ms * 100:.0f}% of floor)"
-        )
-
-    leg("marginal_step", leg_marginal)
-
-    # --- sampled decode (T=1.0, top_p=0.9) on the fused emit_logits path ---
-    skey = jax.random.PRNGKey(7)
-
-    def leg_sampled():
-        def f():
-            return C.generate(
-                trainable, frozen, ccfg, emb,
-                max_length=max_len, temperature=1.0, top_p=0.9, rng=skey,
-                policy=policy, packed=packed,
-            )
-        log("compiling sampled decode...")
-        img_s, _ = timed_batches(f, batch)
-        extras["sampled_decode_top_p_img_s"] = round(img_s, 1)
-        log(f"sampled decode: {img_s:.0f} img/s")
-
-    leg("sampled", leg_sampled)
-
-    # --- sampled decode with the in-kernel draw (serving opt-in) -----------
-    def leg_sampled_in_kernel():
-        def f():
-            return C.generate(
-                trainable, frozen, ccfg, emb,
-                max_length=max_len, temperature=1.0, top_p=0.9, rng=skey,
-                policy=policy, packed=packed, sample_in_kernel=True,
-            )
-        log("compiling in-kernel-sampled decode...")
-        img_s, _ = timed_batches(f, batch)
-        extras["sampled_in_kernel_img_s"] = round(img_s, 1)
-        log(f"in-kernel-sampled decode: {img_s:.0f} img/s")
-
-    leg("sampled_in_kernel", leg_sampled_in_kernel)
-
-    # --- int8 W8A8 greedy decode (opt-in serving mode) ----------------------
-    # BENCH_r03 died exactly here (INTERNAL backend error) after the
-    # in-kernel-sample leg; scripts/int8_crash_repro.py re-runs that precise
-    # leg sequence for the root-cause record.  This leg is now isolated +
-    # retried, so a repeat costs the int8 number only.
-    def leg_int8():
-        packed8 = C.prepare_decode_weights(
-            trainable, frozen, ccfg, policy=policy, quant=True
-        )
-
-        def f():
-            return C.generate(
-                trainable, frozen, ccfg, emb,
-                max_length=max_len, temperature=0.0, top_p=1.0, policy=policy,
-                packed=packed8, decode_quant=True,
-            )
-        log("compiling int8 decode...")
-        img_s, _ = timed_batches(f, batch)
-        extras["int8_decode_img_s"] = round(img_s, 1)
-        log(f"int8 decode: {img_s:.0f} img/s")
-
-    leg("int8", leg_int8)
-
-    # --- b=256 serving decode (256-row kernel blocks via tw=384 packing) ---
-    def leg_b256():
-        emb256 = jnp.asarray(
-            np.random.default_rng(3).normal(size=(256, 512)).astype(np.float32)
-        )
-        packed256 = C.prepare_decode_weights(trainable, frozen, ccfg, policy=policy, tw=384)
-
-        def f():
-            return C.generate(
-                trainable, frozen, ccfg, emb256,
-                max_length=max_len, temperature=0.0, top_p=1.0, policy=policy,
-                packed=packed256,
-            )
-        log("compiling b=256 decode...")
-        img_s, _ = timed_batches(f, 256)
-        extras["decode_b256_img_s"] = round(img_s, 1)
-        log(f"b=256 decode: {img_s:.0f} img/s")
-
-    leg("b256", leg_b256)
-
-    # --- peak serving config: b=512, int8 W8A8, 256-row kernel blocks -------
-    # the measured single-chip serving peak (scripts/batch_scale_ab.py:
-    # weight stream fully amortized at 512 rows; b=1024 regresses on KV
-    # traffic).  tw=384 packing engages the 256-row block automatically.
-    def leg_peak():
-        emb512 = jnp.asarray(
-            np.random.default_rng(5).normal(size=(512, 512)).astype(np.float32)
-        )
-        packed512 = C.prepare_decode_weights(
-            trainable, frozen, ccfg, policy=policy, quant=True, tw=384
-        )
-
-        def f():
-            return C.generate(
-                trainable, frozen, ccfg, emb512,
-                max_length=max_len, temperature=0.0, top_p=1.0, policy=policy,
-                packed=packed512, decode_quant=True,
-            )
-        log("compiling b=512 int8 decode...")
-        img_s, _ = timed_batches(f, 512)
-        extras["peak_serving_b512_int8_img_s"] = round(img_s, 1)
-        log(f"b=512 int8 decode: {img_s:.0f} img/s")
-
-    leg("peak_b512_int8", leg_peak)
-
-    # --- beam search (beam 4) on the beam-aware fused kernel ----------------
-    # a capability the reference lacks entirely; round-3 kernel replaces the
-    # per-step cache gather with an ancestry-map indirection inside the
-    # attention walk plus in-kernel per-row top-k/logsumexp
-    def leg_beam():
-        def f():
-            return C.beam_generate(
-                trainable, frozen, ccfg, emb,
-                max_length=max_len, beam_size=4, policy=policy,
-            )
-        log("compiling beam decode...")
-        img_s, _ = timed_batches(f, batch, reps=3)
-        extras["beam4_decode_img_s"] = round(img_s, 1)
-        log(f"beam-4 decode: {img_s:.0f} img/s")
-
-    leg("beam", leg_beam)
-
-    # int8 W8A8 beam (decode_quant=True): same packed-tile serving mode as
-    # greedy/sampled; on-chip A/B scripts/beam_e2e_onehot_ab.py
-    def leg_beam_int8():
-        def f():
-            return C.beam_generate(
-                trainable, frozen, ccfg, emb,
-                max_length=max_len, beam_size=4, policy=policy, decode_quant=True,
-            )
-        log("compiling int8 beam decode...")
-        img_s, _ = timed_batches(f, batch, reps=3)
-        extras["beam4_int8_img_s"] = round(img_s, 1)
-        log(f"beam-4 int8 decode: {img_s:.0f} img/s")
-
-    leg("beam_int8", leg_beam_int8)
 
     # --- reference algorithm on the same chip: uncached O(L^2) decode ------
     # The reference's Python loop re-forwards the whole sequence every step
@@ -391,7 +308,37 @@ def main() -> None:
         headline["baseline_img_s"] = batch / total_s
         log(f"reference-algorithm baseline: {batch / total_s:.1f} img/s")
 
-    leg("baseline", leg_baseline)
+    # --- marginal decode step + HBM roofline (round-4 MFU table) -----------
+    def leg_marginal():
+        short_len = 26
+
+        def ours_short():
+            return C.generate(
+                trainable, frozen, ccfg, emb,
+                max_length=short_len, temperature=0.0, top_p=1.0,
+                policy=policy, packed=packed,
+            )
+
+        log("compiling len-26 decode for the marginal-step measurement...")
+        _, t_short = timed_batches(ours_short, batch)
+        if headline["value"] is None:
+            return
+        t_long = batch / headline["value"]
+        step_ms = (t_long - t_short) / (max_len - short_len) * 1000
+        # analytic HBM floor of one fused decode step at this config:
+        # block weight stream + tied-vocab logits walk + avg valid KV read
+        d, L, V = gcfg.n_embd, gcfg.n_layer, gcfg.vocab_size
+        wbytes = gpt2_block_params(d, L) * 2 + V * d * 2
+        avg_t = mcfg.prefix_length + max_len // 2
+        kvbytes = 2 * L * d * 2 * batch * avg_t
+        floor_ms = (wbytes + kvbytes) / peaks["hbm_Bps"] * 1000
+        extras["decode_marginal_step_ms_b128"] = round(step_ms, 3)
+        extras["decode_step_hbm_floor_ms"] = round(floor_ms, 3)
+        extras["decode_step_pct_of_hbm_floor"] = round(floor_ms / step_ms * 100, 1)
+        log(
+            f"marginal decode step {step_ms:.3f} ms vs HBM floor {floor_ms:.3f} ms "
+            f"({floor_ms / step_ms * 100:.0f}% of floor)"
+        )
 
     # --- training-step throughput (flagship config) -------------------------
     def leg_train():
@@ -438,7 +385,123 @@ def main() -> None:
         extras["train_step_mfu_pct"] = round(mfu, 1)
         log(f"train: {batch / dt:.0f} captions/s, {dt * 1000:.1f} ms/step, MFU {mfu:.1f}%")
 
-    leg("train", leg_train)
+    # --- int8 W8A8 greedy decode (opt-in serving mode) ----------------------
+    # BENCH_r03 died exactly here (INTERNAL backend error) after the
+    # in-kernel-sample leg; scripts/int8_crash_repro.py re-runs that precise
+    # leg sequence for the root-cause record.  This leg is now isolated +
+    # retried, so a repeat costs the int8 number only.
+    def leg_int8():
+        packed8 = C.prepare_decode_weights(
+            trainable, frozen, ccfg, policy=policy, quant=True
+        )
+
+        def f():
+            return C.generate(
+                trainable, frozen, ccfg, emb,
+                max_length=max_len, temperature=0.0, top_p=1.0, policy=policy,
+                packed=packed8, decode_quant=True,
+            )
+        log("compiling int8 decode...")
+        img_s, _ = timed_batches(f, batch)
+        extras["int8_decode_img_s"] = round(img_s, 1)
+        log(f"int8 decode: {img_s:.0f} img/s")
+
+    # --- peak serving config: b=512, int8 W8A8, 256-row kernel blocks -------
+    # the measured single-chip serving peak (scripts/batch_scale_ab.py:
+    # weight stream fully amortized at 512 rows; b=1024 regresses on KV
+    # traffic).  tw=384 packing engages the 256-row block automatically.
+    def leg_peak():
+        emb512 = jnp.asarray(
+            np.random.default_rng(5).normal(size=(512, 512)).astype(np.float32)
+        )
+        packed512 = C.prepare_decode_weights(
+            trainable, frozen, ccfg, policy=policy, quant=True, tw=384
+        )
+
+        def f():
+            return C.generate(
+                trainable, frozen, ccfg, emb512,
+                max_length=max_len, temperature=0.0, top_p=1.0, policy=policy,
+                packed=packed512, decode_quant=True,
+            )
+        log("compiling b=512 int8 decode...")
+        img_s, _ = timed_batches(f, 512)
+        extras["peak_serving_b512_int8_img_s"] = round(img_s, 1)
+        log(f"b=512 int8 decode: {img_s:.0f} img/s")
+
+    # --- beam search (beam 4) on the beam-aware fused kernel ----------------
+    # a capability the reference lacks entirely; round-3 kernel replaces the
+    # per-step cache gather with an ancestry-map indirection inside the
+    # attention walk plus in-kernel per-row top-k/logsumexp
+    def leg_beam():
+        def f():
+            return C.beam_generate(
+                trainable, frozen, ccfg, emb,
+                max_length=max_len, beam_size=4, policy=policy,
+            )
+        log("compiling beam decode...")
+        img_s, _ = timed_batches(f, batch, reps=3)
+        extras["beam4_decode_img_s"] = round(img_s, 1)
+        log(f"beam-4 decode: {img_s:.0f} img/s")
+
+    # int8 W8A8 beam (decode_quant=True): same packed-tile serving mode as
+    # greedy/sampled; on-chip A/B scripts/beam_e2e_onehot_ab.py
+    def leg_beam_int8():
+        def f():
+            return C.beam_generate(
+                trainable, frozen, ccfg, emb,
+                max_length=max_len, beam_size=4, policy=policy, decode_quant=True,
+            )
+        log("compiling int8 beam decode...")
+        img_s, _ = timed_batches(f, batch, reps=3)
+        extras["beam4_int8_img_s"] = round(img_s, 1)
+        log(f"beam-4 int8 decode: {img_s:.0f} img/s")
+
+    # --- sampled decode (T=1.0, top_p=0.9) on the fused emit_logits path ---
+    skey = jax.random.PRNGKey(7)
+
+    def leg_sampled():
+        def f():
+            return C.generate(
+                trainable, frozen, ccfg, emb,
+                max_length=max_len, temperature=1.0, top_p=0.9, rng=skey,
+                policy=policy, packed=packed,
+            )
+        log("compiling sampled decode...")
+        img_s, _ = timed_batches(f, batch)
+        extras["sampled_decode_top_p_img_s"] = round(img_s, 1)
+        log(f"sampled decode: {img_s:.0f} img/s")
+
+    # --- sampled decode with the in-kernel draw (serving opt-in) -----------
+    def leg_sampled_in_kernel():
+        def f():
+            return C.generate(
+                trainable, frozen, ccfg, emb,
+                max_length=max_len, temperature=1.0, top_p=0.9, rng=skey,
+                policy=policy, packed=packed, sample_in_kernel=True,
+            )
+        log("compiling in-kernel-sampled decode...")
+        img_s, _ = timed_batches(f, batch)
+        extras["sampled_in_kernel_img_s"] = round(img_s, 1)
+        log(f"in-kernel-sampled decode: {img_s:.0f} img/s")
+
+    # --- b=256 serving decode (256-row kernel blocks via tw=384 packing) ---
+    def leg_b256():
+        emb256 = jnp.asarray(
+            np.random.default_rng(3).normal(size=(256, 512)).astype(np.float32)
+        )
+        packed256 = C.prepare_decode_weights(trainable, frozen, ccfg, policy=policy, tw=384)
+
+        def f():
+            return C.generate(
+                trainable, frozen, ccfg, emb256,
+                max_length=max_len, temperature=0.0, top_p=1.0, policy=policy,
+                packed=packed256,
+            )
+        log("compiling b=256 decode...")
+        img_s, _ = timed_batches(f, 256)
+        extras["decode_b256_img_s"] = round(img_s, 1)
+        log(f"b=256 decode: {img_s:.0f} img/s")
 
     # --- RAT (retrieval-augmented) training step -----------------------------
     # fused on-device retrieval inside the jitted loss (models/rat.py::
@@ -500,14 +563,10 @@ def main() -> None:
         extras["rat_train_captions_s_b128_store8k"] = round(batch / dt, 1)
         log(f"RAT train: {batch / dt:.0f} captions/s ({dt * 1000:.1f} ms/step)")
 
-    leg("rat_train", leg_rat_train)
-
     # --- embedding extraction: CLIP ViT-B/32 encode throughput --------------
     # (device compute only, synthetic pixels — the host JPEG pipeline is
     # measured separately by the imagepipe tests).  The reference's committed
     # anchor is ~65 img/s on its author's CUDA GPU (BASELINE.md).
-    from gpt2_image_captioning_tpu.models import clip as CL
-
     def leg_clip():
         vcfg = CL.CLIPVisionConfig.vit_b32()
         vparams = jax.tree.map(
@@ -554,8 +613,6 @@ def main() -> None:
         extras["clip_encode_mfu_pct"] = round(mfu, 1)
         log(f"clip encode: {img_s:.1f} img/s (MFU {mfu:.1f}%)")
 
-    leg("clip_encode", leg_clip)
-
     # --- ViT-B/16 encode (SURVEY L1 tower #2; round-4 leg) -------------------
     def leg_vit():
         from gpt2_image_captioning_tpu.models import vit as VT
@@ -583,8 +640,6 @@ def main() -> None:
         fl = vit_encode_flops(197, 768, 12)
         extras["vit_encode_mfu_pct"] = round(fl * img_s / peaks["bf16_flops"] * 100, 1)
         log(f"vit encode: {img_s:.1f} img/s")
-
-    leg("vit_encode", leg_vit)
 
     # --- DINOv3 ViT-L/16 encode (SURVEY L1 tower #3; round-4 leg) ------------
     # random weights — throughput is weight-independent (real checkpoint is
@@ -617,8 +672,6 @@ def main() -> None:
         extras["dino_encode_mfu_pct"] = round(fl * img_s / peaks["bf16_flops"] * 100, 1)
         log(f"dino encode: {img_s:.1f} img/s")
 
-    leg("dino_encode", leg_dino)
-
     # --- continuous (rolling-admission) serving ------------------------------
     # the production-serving surface: one on-device macro-step program
     # (admission every `segment` steps inside the jit), pipelined dispatch,
@@ -626,13 +679,12 @@ def main() -> None:
     # (measured separately above).  The reference has no serving surface at
     # all (/root/reference/src/models.py:389-469 is a notebook loop).
     def leg_continuous():
-        from gpt2_image_captioning_tpu.models import clip as CL2
         from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
 
-        vcfg = CL2.CLIPVisionConfig.vit_b32()
+        vcfg = CL.CLIPVisionConfig.vit_b32()
         vparams = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16),
-            CL2.init_vision(jax.random.PRNGKey(1), vcfg),
+            CL.init_vision(jax.random.PRNGKey(1), vcfg),
         )
 
         class _NullTokenizer:
@@ -664,35 +716,36 @@ def main() -> None:
         extras["continuous_serving_img_s"] = round(cont_img_s, 1)
         log(f"continuous serving: {cont_img_s:.0f} img/s")
 
-    leg("continuous", leg_continuous)
-
-    vs = None
-    if headline["value"] is not None and headline["baseline_img_s"]:
-        vs = round(headline["value"] / headline["baseline_img_s"], 2)
-    if errors:
-        extras["errors"] = errors
-    if not peaks_known:
-        extras["mfu_note"] = (
-            f"unrecognized device_kind {device_kind!r}; pct-of-peak keys "
-            "assume TPU v5e rates"
-        )
-    print(
-        json.dumps(
-            {
-                "metric": "caption_decode_throughput_gpt2_124m_b128_len50",
-                "value": round(headline["value"], 2) if headline["value"] else None,
-                "unit": "img/s",
-                "vs_baseline": vs,
-                "baseline": {
-                    "what": "reference decode algorithm (uncached full re-forward/step) on the same chip",
-                    "img_s": round(headline["baseline_img_s"], 2)
-                    if headline["baseline_img_s"] else None,
-                },
-                "extras": extras,
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    # ------------------------------------------------------------------------
+    # Value-first leg order: an early kill loses the least-important numbers.
+    # The complete summary JSON prints after EVERY leg (emit()).
+    legs = [
+        ("greedy", leg_greedy),
+        ("baseline", leg_baseline),
+        ("marginal_step", leg_marginal),
+        ("train", leg_train),
+        ("int8", leg_int8),
+        ("peak_b512_int8", leg_peak),
+        ("beam", leg_beam),
+        ("beam_int8", leg_beam_int8),
+        ("sampled", leg_sampled),
+        ("sampled_in_kernel", leg_sampled_in_kernel),
+        ("b256", leg_b256),
+        ("rat_train", leg_rat_train),
+        ("clip_encode", leg_clip),
+        ("vit_encode", leg_vit),
+        ("dino_encode", leg_dino),
+        ("continuous", leg_continuous),
+    ]
+    for name, fn in legs:
+        if elapsed() > BUDGET_S:
+            extras.setdefault("skipped_over_budget", []).append(name)
+            log(f"leg {name} SKIPPED: over {BUDGET_S:.0f}s budget")
+            continue
+        run_leg(name, fn)
+        emit()
+    if "skipped_over_budget" in extras:
+        emit()
 
 
 if __name__ == "__main__":
