@@ -8,11 +8,19 @@ greedy 256-row block already sits ~0.4 MB under the 16 MB scoped-VMEM limit
 per-chunk scale tiles + int8->bf16 staging on top.
 
 This follow-up forces the 128-row block at b=512/1024 (standard tw=768
-packing — the kernel only widens the block when tw<=384) so both cache
-dtypes compile, isolating the BANDWIDTH question: at wide batch the chunked
-attention walk is bytes-bound, which is where halved KV bytes should pay.
-If int8-KV wins here, engineering the 256-row VMEM fit is the follow-on;
-if it still loses, the round-2 rejection generalizes to all batches.
+packing — the kernel only widens the block when tw<=384), attempting to
+isolate the BANDWIDTH question: at wide batch the chunked attention walk is
+bytes-bound, which is where halved KV bytes should pay.
+
+OUTCOME (docs/ab_logs/kv_quant_scale_ab2.log): the int8-KV legs STILL fail
+Mosaic compilation at b=512 and b=1024 even with 128-row blocks — the
+bandwidth question remains unanswered, and the round-2 rejection of int8-KV
+stands as the operative conclusion (b=128 measured it slower than bf16-KV
+anyway).  ``captioner.generate`` now refuses ``decode_quant_cache=True``
+above b=128 (see docs/PERF_NOTES.md round 5); this script must run with
+``GIC_ALLOW_INT8_KV_LARGE_BATCH=1`` to reach the failing configs.
+``scripts/kv_quant_scale_ab3.py`` is the round-5 re-witness (HEAD layout at
+b=128 + full Mosaic error capture at b=512).
 
 Run DETACHED alone on the real chip:
   cd /root/repo && setsid nohup python -u scripts/kv_quant_scale_ab2.py \
@@ -85,7 +93,12 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 log(f"{tag}: {b * reps / dt:8.1f} img/s  ({dt / reps * 1000:7.2f} ms/batch)")
             except Exception as e:  # noqa: BLE001
-                log(f"{tag}: FAILED {type(e).__name__}: {str(e)[:200]}")
+                # full traceback: truncating to str(e)[:200] reduced the r4
+                # Mosaic failures to an undiagnosable HTTP-500 wrapper line
+                import traceback
+
+                log(f"{tag}: FAILED {type(e).__name__}")
+                traceback.print_exc()
     log("done")
 
 

@@ -608,6 +608,42 @@ def test_generate_int8_decode_runs_and_tracks_f32():
     assert (got_c == want).mean() > 0.5
 
 
+def test_generate_int8_kv_cache_large_batch_refused():
+    """decode_quant_cache is fenced to the witnessed batch range: b > 128
+    fails Mosaic compilation on the chip (docs/ab_logs/kv_quant_scale_ab2.log),
+    so the library refuses it up front with an actionable error instead of a
+    user-reachable backend compile crash."""
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+
+    gcfg = G.GPT2Config(vocab_size=293, n_positions=300, n_embd=32, n_layer=2, n_head=2)
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=16, gpt_dim=32)
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=292)
+    trainable, frozen = C.init_params(jax.random.PRNGKey(3), ccfg)
+    emb = jnp.zeros((256, 16), jnp.float32)
+    with pytest.raises(ValueError, match="batch <= 128"):
+        C.generate(trainable, frozen, ccfg, emb, max_length=4, temperature=0.0,
+                   top_p=1.0, use_pallas_decode=True, decode_quant=True,
+                   decode_quant_cache=True)
+    # the A/B escape hatch lifts the fence (trace-time env binding)
+    import os
+
+    os.environ["GIC_ALLOW_INT8_KV_LARGE_BATCH"] = "1"
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(
+                C.generate(trainable, frozen, ccfg, emb, max_length=2,
+                           temperature=0.0, top_p=1.0, use_pallas_decode=True,
+                           decode_quant=True, decode_quant_cache=True)
+            )
+        assert out.shape == (256, 2)
+    finally:
+        del os.environ["GIC_ALLOW_INT8_KV_LARGE_BATCH"]
+
+
 def test_fused_decode_step_topk_matches_topk_small():
     """The in-kernel top-k + streaming logsumexp (beam mode's vocab walk)
     reproduces topk_small/logsumexp over the emitted full logits exactly —
