@@ -1,6 +1,6 @@
 # Top-level convenience targets.
 
-.PHONY: native test bench validate clean
+.PHONY: native test bench validate evidence clean
 
 native:
 	$(MAKE) -C native
@@ -13,6 +13,10 @@ bench:
 
 validate:
 	python scripts/tpu_validation.py
+
+# on-chip evidence refresh: standing truth checks -> dated docs/ab_logs/*.log
+evidence:
+	bash scripts/evidence.sh
 
 clean:
 	$(MAKE) -C native clean
