@@ -57,6 +57,7 @@ def _run_extraction(
     num_workers: int,
     desc: str,
     device_chunks: int = 1,
+    mesh=None,
 ) -> tuple[list[str], np.ndarray]:
     """Stream host batches through the device encoder.
 
@@ -69,7 +70,34 @@ def _run_extraction(
     device-true rate (scripts/clip_chunk_ab.py; a flat C·B megabatch
     REGRESSES to 6,516 — XLA's per-layer ops tile worse at batch 2048).
     Device→host fetches are deferred so dispatches pipeline either way.
+
+    ``mesh`` — a dp-only ``(dp, tp)`` Mesh for multi-chip extraction: each
+    host batch is sharded over ``dp`` on its batch axis (GSPMD; encoder
+    weights replicated — the vision towers are per-example programs with no
+    cross-batch reductions, so the sharded run's embeddings equal the
+    single-device run's).  The SAME chunked-dispatch program runs either
+    way; SURVEY §2.3 row 1 names DP batch-sharded extraction first-class.
     """
+    batch_sh = chunk_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        dp = int(mesh.shape.get("dp", 1))
+        if int(mesh.shape.get("tp", 1)) != 1:
+            raise ValueError("extraction meshes must be dp-only (tp=1)")
+        if batch_size % dp != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over dp={dp} "
+                "(the loader pads every batch to a fixed shape)"
+            )
+        batch_sh = NamedSharding(mesh, _P("dp"))
+        chunk_sh = NamedSharding(mesh, _P(None, "dp"))
+
+    def stage(arr, sh):
+        dev = jnp.asarray(arr)
+        return jax.device_put(dev, sh) if sh is not None else dev
+
     loader = _make_loader(image_dir, spec, batch_size, num_workers)
     all_names: list[str] = []
     dev_out: list[tuple[jax.Array, int]] = []  # (embeddings, n_valid)
@@ -79,7 +107,7 @@ def _run_extraction(
     if device_chunks <= 1:
         encode = jax.jit(encode_u8)
         for names, batch_u8, valid in loader:
-            dev_out.append((encode(jnp.asarray(batch_u8)), len(names)))
+            dev_out.append((encode(stage(batch_u8, batch_sh)), len(names)))
             all_names.extend(names)
     else:
 
@@ -106,7 +134,7 @@ def _run_extraction(
             # or periodic fetches to bound device residency.
             while len(staged) < device_chunks:
                 staged.append(staged[-1])
-            out = encode_block(jnp.asarray(np.stack(staged)))
+            out = encode_block(stage(np.stack(staged), chunk_sh))
             for j in range(m):
                 dev_out.append((out[j], staged_n[j]))
             staged.clear()
@@ -143,6 +171,7 @@ def extract_clip_embeddings(
     num_workers: int = 4,
     policy: Policy = BF16,
     device_chunks: int = 1,
+    mesh=None,
 ) -> tuple[list[str], np.ndarray]:
     """CLIP image features, L2-normalized, 512-d (reference
     ``src/embeddings/clip.py:79-149``)."""
@@ -154,7 +183,7 @@ def extract_clip_embeddings(
 
     return _run_extraction(
         image_dir, output_path, encode, SPECS["clip"], batch_size, num_workers,
-        "CLIP", device_chunks=device_chunks,
+        "CLIP", device_chunks=device_chunks, mesh=mesh,
     )
 
 
@@ -167,6 +196,7 @@ def extract_vit_embeddings(
     num_workers: int = 4,
     policy: Policy = BF16,
     device_chunks: int = 1,
+    mesh=None,
 ) -> tuple[list[str], np.ndarray]:
     """HF ViT pooler ([CLS]) features, L2-normalized, 768-d (reference
     ``src/embeddings/vit.py:80-137``)."""
@@ -178,7 +208,7 @@ def extract_vit_embeddings(
 
     return _run_extraction(
         image_dir, output_path, encode, SPECS["vit"], batch_size, num_workers,
-        "ViT", device_chunks=device_chunks,
+        "ViT", device_chunks=device_chunks, mesh=mesh,
     )
 
 
@@ -191,6 +221,7 @@ def extract_dino_embeddings(
     num_workers: int = 4,
     policy: Policy = BF16,
     device_chunks: int = 1,
+    mesh=None,
 ) -> tuple[list[str], np.ndarray]:
     """DINOv3+dino.txt image features, L2-normalized (reference
     ``src/embeddings/dino.py:138-185``)."""
@@ -202,7 +233,7 @@ def extract_dino_embeddings(
 
     return _run_extraction(
         image_dir, output_path, encode, SPECS["dino"], batch_size, num_workers,
-        "DINO", device_chunks=device_chunks,
+        "DINO", device_chunks=device_chunks, mesh=mesh,
     )
 
 

@@ -149,3 +149,43 @@ def test_caption_word_embeddings(tmp_path):
     emb = np.random.default_rng(0).normal(size=(2, cfg.projection_dim)).astype(np.float32)
     store = DeviceVectorStore.build(["a.jpg", "b.jpg"], emb, loaded)
     assert store.caption_table.shape == (2, 2)
+
+
+def test_dp_mesh_extraction_matches_single_device(image_dir):
+    """mesh= knob (SURVEY §2.3 DP extraction): a dp=4 batch-sharded run
+    produces the same embeddings as the single-device run, for both the
+    per-batch and the chunked-dispatch (device_chunks>1) programs."""
+    import dataclasses
+
+    from gpt2_image_captioning_tpu.core.mesh import MeshSpec, create_mesh
+    from gpt2_image_captioning_tpu.core.precision import F32
+    from gpt2_image_captioning_tpu.embeddings.preprocess import normalize_on_device
+
+    cfg = CL.CLIPVisionConfig.tiny()
+    params = CL.init_vision(jax.random.PRNGKey(0), cfg)
+    spec = dataclasses.replace(PP.CLIP_SPEC, resize=32, crop=32)
+
+    def encode(batch_u8):
+        px = normalize_on_device(batch_u8, spec)
+        return CL.encode_image(params, cfg, px, policy=F32, normalize=True)
+
+    names0, emb0 = _run_extraction(image_dir, None, encode, spec, 4, 2, "ref")
+    mesh = create_mesh(MeshSpec(dp=4, tp=1), devices=jax.devices()[:4])
+    names1, emb1 = _run_extraction(
+        image_dir, None, encode, spec, 4, 2, "dp4", mesh=mesh
+    )
+    assert names1 == names0
+    np.testing.assert_allclose(emb1, emb0, atol=1e-6)
+
+    names2, emb2 = _run_extraction(
+        image_dir, None, encode, spec, 4, 2, "dp4c2", device_chunks=2, mesh=mesh
+    )
+    assert names2 == names0
+    np.testing.assert_allclose(emb2, emb0, atol=1e-6)
+
+    # guard: batch must divide over dp, and tp meshes are refused
+    with pytest.raises(ValueError, match="divide over dp"):
+        _run_extraction(image_dir, None, encode, spec, 6, 2, "bad", mesh=mesh)
+    tp_mesh = create_mesh(MeshSpec(dp=2, tp=2), devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="dp-only"):
+        _run_extraction(image_dir, None, encode, spec, 4, 2, "bad", mesh=tp_mesh)
