@@ -1403,7 +1403,13 @@ def fused_decode_step(
     if cache_quant:
         # fold the new row's scales into the (L, Tpad, B) arrays — one
         # alignment-free XLA dynamic_update_slice per step (k_scale/v_scale
-        # here are the batch-padded copies; slice the pad back off after)
+        # here are the batch-padded copies; slice the pad back off after).
+        # k_scale/v_scale are deliberately NOT donated to the kernel: even if
+        # XLA materializes these DUS as full copies in the decode loop, the
+        # arrays are ~0.45 MB each at the flagship shape (L=12, Tpad~72,
+        # B=128, f32) — worst-case ~2 µs/step of HBM traffic, <0.5% of the
+        # int8 step; the on-chip b=128 A/B (docs/ab_logs/kv_quant_scale_*)
+        # bounds it empirically
         nsk, nsv = outs[n_head_out + 2], outs[n_head_out + 3]
         zero = jnp.zeros((), jnp.int32)
         idx32 = jnp.asarray(idx, jnp.int32).reshape(())

@@ -1,0 +1,219 @@
+"""Continuous-serving occupancy ceiling: where do the 1,6xx/1,9xx img/s go?
+
+VERDICT r4 weak #4: continuous serving holds at ~55% of fixed-batch decode
+with no named remaining lever and no derived ceiling.  This script measures
+every term of the steady-state protocol so the gap decomposes into
+(1) pool occupancy, (2) host/dispatch gaps the depth-1 pipeline fails to
+hide, and (3) per-step device cost of the macro engine vs the fixed-batch
+kernel loop — and prints the occupancy ceiling = what the same engine would
+serve at 100% occupancy with zero host gap.
+
+Protocol per precision (bf16, int8), slots=128 seg=8 bursts=16 greedy:
+
+- **steady instrumented**: closed loop (every completion resubmitted),
+  8 warm + 24 timed macros; a patched ``_harvest`` reads each macro's packed
+  output BEFORE the service consumes it and records per-step occupancy
+  (fraction of pool rows live, ``uid >= 0``) and admission counts.
+- **steady serialized**: same load, but dispatch → immediate harvest with no
+  overlap — the per-macro wall here is device time + fetch + staging with
+  nothing hidden, isolating how much the depth-1 overlap actually hides.
+- **fixed-batch reference**: one-shot ``generate`` at b=128 (same weights,
+  same session) — the engine-free upper anchor.
+
+Run DETACHED alone on the real chip:
+  cd /root/repo && setsid nohup python -u scripts/continuous_occupancy_ab.py \
+      > docs/ab_logs/continuous_occupancy_ab.log 2>&1 < /dev/null & disown
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SLOTS, SEG, BURSTS, ADMIT, MAXLEN = 128, 8, 16, 32, 50
+WARM, MEAS = 8, 24
+STEPS = SEG * BURSTS
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gpt2_image_captioning_tpu.core.precision import BF16
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import clip as CL
+    from gpt2_image_captioning_tpu.models import gpt2 as G
+    from gpt2_image_captioning_tpu.models import mapping as M
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    assert jax.default_backend() != "cpu"
+    policy = BF16
+    gcfg = G.GPT2Config.gpt2_124m()
+    mcfg = M.TransformerMappingConfig(
+        embed_dim=512, gpt_dim=768, prefix_length=15, hidden_length=10
+    )
+    ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=50256)
+    trainable, frozen = C.init_params(jax.random.PRNGKey(0), ccfg)
+    trainable = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
+    frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
+    vcfg = CL.CLIPVisionConfig.vit_b32()
+    vparams = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), CL.init_vision(jax.random.PRNGKey(1), vcfg)
+    )
+
+    class _NullTokenizer:
+        def batch_decode(self, arr, skip_special_tokens=True):
+            return [""] * len(arr)
+
+    model = C.ImageCaptioningModel(ccfg, tokenizer=_NullTokenizer(), policy=BF16)
+    model.trainable, model.frozen = trainable, frozen
+    emb_pool = np.random.default_rng(9).normal(size=(4096, 512)).astype(np.float32)
+
+    def make_svc(precision):
+        return ContinuousCaptionService(
+            model, vparams, vcfg, encoder="clip", slots=SLOTS, segment=SEG,
+            bursts=BURSTS, admit=ADMIT, max_length=MAXLEN,
+            decode_precision=precision,
+        )
+
+    def closed_loop(svc, n_macros, instrument, timeit=True):
+        """Run n_macros closed-loop steps; returns (rate, stats_delta, occ,
+        adm, caption_lens)."""
+        occ, adm, lens = [], [], []
+        if instrument:
+            orig = svc._harvest
+
+            def patched(inflight):
+                if inflight is not None:
+                    out = np.asarray(inflight[0])  # extra fetch, stats only
+                    occ.append(float((out[:, 1] >= 0).mean()))
+                    adm.append(int((out[:, 3] >= 0).sum()))
+                orig(inflight)
+
+            svc._harvest = patched
+        nxt = [0]
+
+        def submit(k):
+            for _ in range(k):
+                svc.submit_embedding(emb_pool[nxt[0] % len(emb_pool)])
+                nxt[0] += 1
+
+        s0 = dict(svc._stats)
+        n_done0 = svc._stats["images"]
+        t0 = time.perf_counter()
+        for _ in range(n_macros):
+            done = svc.step()
+            submit(len(done))
+        dt = time.perf_counter() - t0
+        if instrument:
+            svc._harvest = orig
+        completed = svc._stats["images"] - n_done0
+        stats = {k: svc._stats[k] - s0.get(k, 0) for k in svc._stats}
+        return completed / dt, dt, stats, occ, adm
+
+    def leg(precision):
+        log(f"--- {precision} ---")
+        svc = make_svc(precision)
+        # ramp: fill pool + staged backlog, warm the compiled macro
+        for i in range(3 * SLOTS):
+            svc.submit_embedding(emb_pool[i % len(emb_pool)])
+        closed_loop(svc, WARM, instrument=False)
+
+        # A) steady instrumented (occupancy + admission telemetry)
+        rate_i, dt_i, st_i, occ, adm = closed_loop(svc, MEAS, instrument=True)
+        mo = float(np.mean(occ)) if occ else float("nan")
+        log(f"instrumented steady: {rate_i:7.1f} img/s | occupancy "
+            f"mean={mo:.3f} min={min(occ):.3f} max={max(occ):.3f} | "
+            f"admissions/macro mean={np.mean(adm):.1f}")
+        log(f"  wall/macro {dt_i / MEAS * 1000:6.1f} ms | per-macro "
+            f"dispatch {st_i['dispatch_s'] / MEAS * 1000:5.1f} sync "
+            f"{st_i['sync_s'] / MEAS * 1000:5.1f} host "
+            f"{st_i['host_s'] / MEAS * 1000:5.1f} ms")
+        tokens = mo * SLOTS * STEPS * MEAS
+        done_n = rate_i * dt_i
+        log(f"  mean caption len ~= {tokens / max(done_n, 1):.1f} tokens")
+
+        # B) steady clean (no instrumentation fetch) — the honest number
+        rate_c, dt_c, st_c, _, _ = closed_loop(svc, MEAS, instrument=False)
+        log(f"clean steady:        {rate_c:7.1f} img/s | wall/macro "
+            f"{dt_c / MEAS * 1000:6.1f} ms | dispatch "
+            f"{st_c['dispatch_s'] / MEAS * 1000:5.1f} sync "
+            f"{st_c['sync_s'] / MEAS * 1000:5.1f} host "
+            f"{st_c['host_s'] / MEAS * 1000:5.1f} ms")
+
+        # C) serialized: dispatch -> immediate harvest, zero overlap
+        s0 = dict(svc._stats)
+        n0 = svc._stats["images"]
+        t0 = time.perf_counter()
+        nxt = 0
+        for _ in range(MEAS):
+            svc._dispatch()
+            while svc._inflight:
+                svc._harvest(svc._inflight.popleft())
+            done = svc._stats["images"] - n0 - nxt
+            for _ in range(done):
+                svc.submit_embedding(emb_pool[nxt % len(emb_pool)])
+                nxt += 1
+            # NB: resubmission accounting approximate; population stays ~constant
+        dt_s = time.perf_counter() - t0
+        st_s = {k: svc._stats[k] - s0.get(k, 0) for k in svc._stats}
+        rate_s = (svc._stats["images"] - n0) / dt_s
+        log(f"serialized steady:   {rate_s:7.1f} img/s | wall/macro "
+            f"{dt_s / MEAS * 1000:6.1f} ms | dispatch "
+            f"{st_s['dispatch_s'] / MEAS * 1000:5.1f} sync "
+            f"{st_s['sync_s'] / MEAS * 1000:5.1f} host "
+            f"{st_s['host_s'] / MEAS * 1000:5.1f} ms")
+
+        # ceiling table
+        step_wall_ms = dt_c / MEAS / STEPS * 1000
+        # device-only per-macro = serialized minus host bookkeeping+staging.
+        # On this backend the device wait lands in sync_s (the packed-output
+        # fetch); dispatch_s is host staging.  If the decomposition collapses
+        # (sync ~0 means the wait hid somewhere else), fall back to sync-only.
+        dev_macro_ms = (dt_s - st_s["host_s"] - st_s["dispatch_s"]) / MEAS * 1000
+        if dev_macro_ms < 0.25 * dt_s / MEAS * 1000:
+            dev_macro_ms = max(dev_macro_ms, st_s["sync_s"] / MEAS * 1000)
+            log("  (device-time decomposition degenerate; using sync_s floor)")
+        ceil_occ = rate_c / mo  # 100% occupancy at the same step cost
+        ceil_dev = rate_c * (dt_c / MEAS * 1000) / max(dev_macro_ms, 1e-3) / mo
+        log(f"CEILING[{precision}]: achieved {rate_c:.0f} | occupancy-only "
+            f"ceiling {ceil_occ:.0f} ({rate_c / ceil_occ * 100:.0f}%) | "
+            f"occupancy+zero-host-gap ceiling {ceil_dev:.0f} "
+            f"({rate_c / ceil_dev * 100:.0f}%) | step wall {step_wall_ms:.2f} ms "
+            f"dev-only {dev_macro_ms / STEPS:.2f} ms")
+        svc.drain()
+        return rate_c
+
+    for precision in ("bf16", "int8"):
+        leg(precision)
+
+    # fixed-batch anchor, same session (engine-free kernel loop)
+    packed = C.prepare_decode_weights(trainable, frozen, ccfg, policy=policy)
+    emb = jnp.asarray(emb_pool[:128])
+
+    def fb():
+        return C.generate(trainable, frozen, ccfg, emb, max_length=MAXLEN,
+                          temperature=0.0, top_p=1.0, policy=policy, packed=packed)
+
+    np.asarray(fb())
+    np.asarray(fb())
+    t0 = time.perf_counter()
+    outs = [fb() for _ in range(8)]
+    for o in outs:
+        np.asarray(o)
+    dt = (time.perf_counter() - t0) / 8
+    log(f"fixed-batch anchor: {128 / dt:7.1f} img/s ({dt * 1000:.1f} ms/batch)")
+    log("done")
+
+
+if __name__ == "__main__":
+    main()
