@@ -261,25 +261,12 @@ def generate(
     eos = cfg.eos_token_id
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    if decode_quant_cache and image_embeddings.shape[0] > 128 and not os.environ.get(
-        "GIC_ALLOW_INT8_KV_LARGE_BATCH"
-    ):
-        # Witnessed limit: the int8-KV kernel layout (chunk-major scale reads
-        # + nsk/nsv new-row-scale outputs) compiles and validates at b<=128,
-        # but Mosaic fails compilation at b=512/1024 with BOTH 128-row and
-        # 256-row batch blocks (docs/ab_logs/kv_quant_scale_ab{,2}.log;
-        # docs/PERF_NOTES.md round 5).  A backend compile crash is not an
-        # acceptable failure mode for an advertised opt-in, so larger batches
-        # are refused up front.  Set GIC_ALLOW_INT8_KV_LARGE_BATCH=1 to
-        # bypass for kernel-engineering A/Bs only.
-        raise ValueError(
-            f"decode_quant_cache=True is only supported for batch <= 128 "
-            f"(got batch {image_embeddings.shape[0]}): the int8 KV-cache "
-            f"kernel fails TPU (Mosaic) compilation at larger batches — see "
-            f"docs/ab_logs/kv_quant_scale_ab2.log.  Note the bf16 KV cache "
-            f"measured FASTER than int8-KV anyway (docs/PERF_NOTES.md); "
-            f"decode_quant=True alone is the recommended int8 serving mode."
-        )
+    # decode_quant_cache (int8 KV) is witnessed to COMPILE AND RUN at HEAD at
+    # b=128/512/1024 with both kernel block widths (the round-4 chunk-major-
+    # scale + nsk/nsv rework fixed the earlier Mosaic failures at b>128 —
+    # docs/ab_logs/kv_quant_scale_ab3.log).  It measures slower than the
+    # bf16 cache at every batch, so it stays an opt-in, never a default
+    # (docs/PERF_NOTES.md round 5).
 
     prefix = build_prefix(trainable, cfg, image_embeddings, policy)
     b, p_len, _ = prefix.shape

@@ -13,9 +13,10 @@ properties can only be proven here, on real hardware:
   4. Throughput A/B at the flagship shapes (b=128/256, bf16 + int8 W8A8),
      and the continuous-serving macro engine with sample_in_kernel.
 
-Run DETACHED alone on the real chip:
+Run via ``make evidence`` (writes a dated committed log), or DETACHED alone
+on the real chip:
   cd /root/repo && setsid nohup python -u scripts/kernel_sample_ab.py \
-      > /tmp/kernel_sample_ab.log 2>&1 < /dev/null & disown
+      > docs/ab_logs/kernel_sample_ab_$(date +%Y%m%d).log 2>&1 < /dev/null & disown
 """
 
 from __future__ import annotations

@@ -12,15 +12,13 @@ packing — the kernel only widens the block when tw<=384), attempting to
 isolate the BANDWIDTH question: at wide batch the chunked attention walk is
 bytes-bound, which is where halved KV bytes should pay.
 
-OUTCOME (docs/ab_logs/kv_quant_scale_ab2.log): the int8-KV legs STILL fail
-Mosaic compilation at b=512 and b=1024 even with 128-row blocks — the
-bandwidth question remains unanswered, and the round-2 rejection of int8-KV
-stands as the operative conclusion (b=128 measured it slower than bf16-KV
-anyway).  ``captioner.generate`` now refuses ``decode_quant_cache=True``
-above b=128 (see docs/PERF_NOTES.md round 5); this script must run with
-``GIC_ALLOW_INT8_KV_LARGE_BATCH=1`` to reach the failing configs.
-``scripts/kv_quant_scale_ab3.py`` is the round-5 re-witness (HEAD layout at
-b=128 + full Mosaic error capture at b=512).
+OUTCOME: this run's log (docs/ab_logs/kv_quant_scale_ab2.log, int8-KV
+failing Mosaic compile at b=512/1024) PREDATES the nsk/nsv scale-layout
+rework that landed in the same round-4 snapshot.  Re-run at HEAD
+(scripts/kv_quant_scale_ab3.py, docs/ab_logs/kv_quant_scale_ab3.log) every
+config compiles and runs; int8-KV still loses to bf16-KV at every batch, so
+the round-2 rejection stands as the throughput verdict.  See
+docs/PERF_NOTES.md round 5.
 
 Run DETACHED alone on the real chip:
   cd /root/repo && setsid nohup python -u scripts/kv_quant_scale_ab2.py \

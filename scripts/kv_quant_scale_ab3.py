@@ -10,14 +10,22 @@ script witnesses, against HEAD:
 1. b=128 int8-W bf16-KV vs int8-KV — does the reworked layout COMPILE on
    Mosaic and what does it measure?  (The standing verdict: int8-KV loses at
    b=128, 3,222 vs 3,287 img/s — expect the same shape of result.)
-2. b=512 int8-KV — capture the FULL Mosaic error (untruncated traceback),
-   replacing the useless "HTTP 500" wrapper line in the r4 log.  Runs under
-   GIC_ALLOW_INT8_KV_LARGE_BATCH=1 because the library now fences this
-   config (models/captioner.py).
+2. b>128 int8-KV — compile witness with FULL error capture (untruncated
+   traceback), replacing the useless "HTTP 500" wrapper line in the r4 log.
+
+OUTCOME (docs/ab_logs/kv_quant_scale_ab3.log): the rework FIXED the compile —
+every config (b=128/512/1024, 128-row and 256-row blocks) Mosaic-compiles
+and runs at HEAD; the r4 failure logs predate the rework.  int8-KV still
+loses to bf16-KV at every batch (−0.9% to −14%), so the rejected-as-default
+verdict stands; the early-round-5 batch fence was removed.  See
+docs/PERF_NOTES.md round 5.
+
+Leg selection via GIC_KV_AB_LEGS (default "128ref,128,512"): "128ref" =
+bf16-KV comparator at 128, plain numbers = 128-row batches, "<b>t" =
+256-row (tw=384) batches.
 
 Run DETACHED alone on the real chip:
-  cd /root/repo && GIC_ALLOW_INT8_KV_LARGE_BATCH=1 setsid nohup \
-      python -u scripts/kv_quant_scale_ab3.py \
+  cd /root/repo && setsid nohup python -u scripts/kv_quant_scale_ab3.py \
       > docs/ab_logs/kv_quant_scale_ab3.log 2>&1 < /dev/null & disown
 """
 
@@ -62,16 +70,24 @@ def main() -> None:
     pack_std = C.prepare_decode_weights(
         trainable, frozen, ccfg, policy=policy, quant=True
     )
+    pack_384 = None
 
-    def bench(b: int, qcache: bool, reps: int = 5) -> None:
-        tag = f"b={b:<5d} int8-W {'int8-KV' if qcache else 'bf16-KV'}"
+    def bench(b: int, qcache: bool, reps: int = 5, tw384: bool = False) -> None:
+        nonlocal pack_384
+        rows = "256row" if tw384 else "128row"
+        tag = f"b={b:<5d} {rows} int8-W {'int8-KV' if qcache else 'bf16-KV'}"
+        if tw384 and pack_384 is None:
+            pack_384 = C.prepare_decode_weights(
+                trainable, frozen, ccfg, policy=policy, quant=True, tw=384
+            )
+        packed = pack_384 if tw384 else pack_std
         emb = jnp.asarray(rng.normal(size=(b, 512)).astype(np.float32))
         try:
             def run():
                 return C.generate(
                     trainable, frozen, ccfg, emb,
                     max_length=max_len, temperature=0.0, top_p=1.0,
-                    policy=policy, packed=pack_std, decode_quant=True,
+                    policy=policy, packed=packed, decode_quant=True,
                     decode_quant_cache=qcache,
                 )
 
@@ -88,14 +104,23 @@ def main() -> None:
             traceback.print_exc()
             sys.stderr.flush()
 
-    log("=== leg 1: b=128, HEAD int8-KV layout (nsk/nsv) compile + throughput ===")
-    bench(128, qcache=False)
-    bench(128, qcache=True)
-    log("=== leg 2: b=512 int8-KV — full Mosaic error capture ===")
-    assert os.environ.get("GIC_ALLOW_INT8_KV_LARGE_BATCH"), (
-        "run with GIC_ALLOW_INT8_KV_LARGE_BATCH=1 (the library fences b>128)"
-    )
-    bench(512, qcache=True, reps=3)
+    legs = os.environ.get("GIC_KV_AB_LEGS", "128ref,128,512")
+    if "128ref" in legs:
+        log("=== leg 1: b=128, HEAD int8-KV layout (nsk/nsv) compile + throughput ===")
+        bench(128, qcache=False)
+    if "128," in legs + ",":
+        bench(128, qcache=True)
+    big = [int(x) for x in legs.split(",") if x.isdigit() and int(x) > 128]
+    tw384 = [int(x[:-1]) for x in legs.split(",") if x.endswith("t") and x[:-1].isdigit()]
+    if big or tw384:
+        log(f"=== leg 2: b={big} 128row + b={tw384} 256row int8-KV — "
+            "compile witness / full error capture ===")
+        for b in big:
+            bench(b, qcache=True, reps=3)
+            bench(b, qcache=False, reps=3)  # same-session bf16-KV comparator
+        for b in tw384:
+            bench(b, qcache=True, reps=3, tw384=True)
+            bench(b, qcache=False, reps=3, tw384=True)
     log("done")
 
 

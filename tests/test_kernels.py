@@ -608,11 +608,14 @@ def test_generate_int8_decode_runs_and_tracks_f32():
     assert (got_c == want).mean() > 0.5
 
 
-def test_generate_int8_kv_cache_large_batch_refused():
-    """decode_quant_cache is fenced to the witnessed batch range: b > 128
-    fails Mosaic compilation on the chip (docs/ab_logs/kv_quant_scale_ab2.log),
-    so the library refuses it up front with an actionable error instead of a
-    user-reachable backend compile crash."""
+def test_generate_int8_kv_cache_large_batch_runs():
+    """decode_quant_cache at batch > 128: the round-4 scale-layout rework
+    fixed the earlier Mosaic compile failures (on-chip witness at b=512/1024,
+    docs/ab_logs/kv_quant_scale_ab3.log); the mode must stay reachable at
+    large batch — this pins the wrapper/kernel plumbing at b=256 in
+    interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
     from gpt2_image_captioning_tpu.models import captioner as C
     from gpt2_image_captioning_tpu.models import gpt2 as G
     from gpt2_image_captioning_tpu.models import mapping as M
@@ -622,26 +625,13 @@ def test_generate_int8_kv_cache_large_batch_refused():
     ccfg = C.CaptionerConfig(gpt2=gcfg, mapping=mcfg, eos_token_id=292)
     trainable, frozen = C.init_params(jax.random.PRNGKey(3), ccfg)
     emb = jnp.zeros((256, 16), jnp.float32)
-    with pytest.raises(ValueError, match="batch <= 128"):
-        C.generate(trainable, frozen, ccfg, emb, max_length=4, temperature=0.0,
-                   top_p=1.0, use_pallas_decode=True, decode_quant=True,
-                   decode_quant_cache=True)
-    # the A/B escape hatch lifts the fence (trace-time env binding)
-    import os
-
-    os.environ["GIC_ALLOW_INT8_KV_LARGE_BATCH"] = "1"
-    try:
-        from jax.experimental.pallas import tpu as pltpu
-
-        with pltpu.force_tpu_interpret_mode():
-            out = np.asarray(
-                C.generate(trainable, frozen, ccfg, emb, max_length=2,
-                           temperature=0.0, top_p=1.0, use_pallas_decode=True,
-                           decode_quant=True, decode_quant_cache=True)
-            )
-        assert out.shape == (256, 2)
-    finally:
-        del os.environ["GIC_ALLOW_INT8_KV_LARGE_BATCH"]
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(
+            C.generate(trainable, frozen, ccfg, emb, max_length=2,
+                       temperature=0.0, top_p=1.0, use_pallas_decode=True,
+                       decode_quant=True, decode_quant_cache=True)
+        )
+    assert out.shape == (256, 2)
 
 
 def test_fused_decode_step_topk_matches_topk_small():
