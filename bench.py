@@ -714,7 +714,31 @@ def main() -> None:
         cont_img_s = 1024 / (time.perf_counter() - t0)
         assert len(done) >= 1024
         extras["continuous_serving_img_s"] = round(cont_img_s, 1)
-        log(f"continuous serving: {cont_img_s:.0f} img/s")
+        log(f"continuous serving (1024-burst): {cont_img_s:.0f} img/s")
+
+        # steady-state (closed-loop) at the occupancy-sizing recommendation:
+        # in-system population per recommended_inflight() — the round-5
+        # occupancy decomposition showed the old 3x-slots steady protocol
+        # equilibrates at 57% occupancy purely from population starvation
+        # (docs/ab_logs/continuous_occupancy_ab.log: 5-7x lifts bf16
+        # 1,644 -> 2,229 img/s at occupancy 0.875)
+        pop = min(svc.recommended_inflight(expected_len=49), 7 * 128)
+        nxt = 0
+        for _ in range(pop):
+            svc.submit_embedding(emb_np[nxt % 1024])
+            nxt += 1
+        for _ in range(4):  # warm to steady occupancy
+            for _ in svc.step():
+                svc.submit_embedding(emb_np[nxt % 1024]); nxt += 1
+        n0 = svc.stats["images"]
+        t0 = time.perf_counter()
+        for _ in range(16):
+            for _ in svc.step():
+                svc.submit_embedding(emb_np[nxt % 1024]); nxt += 1
+        steady = (svc.stats["images"] - n0) / (time.perf_counter() - t0)
+        svc.drain()
+        extras["continuous_steady_img_s"] = round(steady, 1)
+        log(f"continuous serving (steady, pop={pop}): {steady:.0f} img/s")
 
     # ------------------------------------------------------------------------
     # Value-first leg order: an early kill loses the least-important numbers.

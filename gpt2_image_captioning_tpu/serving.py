@@ -791,6 +791,33 @@ class ContinuousCaptionService:
         self.drain()
         return [self._results.pop(i) for i in ids]
 
+    def recommended_inflight(self, expected_len: int | None = None) -> int:
+        """Minimum in-system population (queued + live) for full-occupancy
+        steady-state throughput.
+
+        Measured on-chip (docs/ab_logs/continuous_occupancy_ab.log): with
+        only 3×slots in-system, steady occupancy equilibrates at 0.574 and
+        throughput at ~56% of the pool's ceiling — NOT because the engine is
+        slow (its step cost matches fixed-batch) but because admission can
+        only draw from what was staged at dispatch.  Keeping every row live
+        through a ``bursts·segment``-step macro needs the staged queue to
+        cover the macro's completions, and the host's resubmission knowledge
+        is one macro stale (depth-1 overlap), so:
+
+            population ≈ slots · (1 + 2 · bursts·segment / expected_len)
+
+        At the tuned flagship config (128 slots, 128-step macros, len-49
+        captions) that is ≈ 6.2×slots; the measured sweep saturates between
+        5× (occupancy 0.841, +31% throughput) and 7× (0.875, +35%).  Shorter
+        captions need MORE backlog (they free rows faster), hence the
+        conservative ``expected_len`` default of half the service cap.
+        Load-generating callers should keep ``queued + live`` at or above
+        this value whenever sustained throughput matters.
+        """
+        el = max(1, expected_len or max(1, self.max_length // 2))
+        steps = self.bursts * self.segment
+        return int(self.slots * (1 + 2 * steps / el) + 0.5)
+
     @property
     def stats(self) -> dict:
         s = dict(self._stats)

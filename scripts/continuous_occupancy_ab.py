@@ -193,8 +193,38 @@ def main() -> None:
         svc.drain()
         return rate_c
 
-    for precision in ("bf16", "int8"):
-        leg(precision)
+    def backlog_leg(precision, mult):
+        """Steady loop with ``mult``×slots requests in-system.
+
+        The first run of this script found steady occupancy stuck at 0.574
+        with the inherited 3×slots population: holding all 128 rows live
+        through a 128-step macro needs live(S) + ~S·steps/len staged ≈ 4.6×
+        slots in-system, so at 3× the pool equilibrates wherever
+        completions/macro matches the staged shortfall.  This sweep measures
+        occupancy/throughput vs population directly."""
+        svc = make_svc(precision)
+        nxt = [0]
+        for _ in range(mult * SLOTS):
+            svc.submit_embedding(emb_pool[nxt[0] % len(emb_pool)])
+            nxt[0] += 1
+        closed_loop(svc, WARM, instrument=False)
+        rate, dt, st, occ, adm = closed_loop(svc, MEAS, instrument=True)
+        mo = float(np.mean(occ))
+        log(f"backlog={mult}x slots {precision}: {rate:7.1f} img/s | "
+            f"occupancy mean={mo:.3f} min={min(occ):.3f} | "
+            f"wall/macro {dt / MEAS * 1000:6.1f} ms | adm/macro {np.mean(adm):.0f}")
+        svc.drain()
+
+    legs_sel = os.environ.get("GIC_OCC_LEGS", "decomp,backlog")
+    if "decomp" in legs_sel:
+        for precision in ("bf16", "int8"):
+            leg(precision)
+    if "backlog" in legs_sel:
+        log("--- backlog (in-system population) sweep ---")
+        for mult in (3, 5, 7):
+            backlog_leg("bf16", mult)
+        backlog_leg("int8", 5)
+        backlog_leg("int8", 7)
 
     # fixed-batch anchor, same session (engine-free kernel loop)
     packed = C.prepare_decode_weights(trainable, frozen, ccfg, policy=policy)

@@ -865,3 +865,41 @@ def test_continuous_service_dp_mesh_int8():
         rids = [svc.submit_embedding(e) for e in embs]
         svc.drain()
         assert [svc.pop_result(r) for r in rids] == want
+
+
+def test_recommended_inflight_sizing():
+    """Population-sizing helper (round-5 occupancy decomposition): the
+    formula slots*(1 + 2*macro_steps/expected_len) at the flagship config
+    must land between the measured 5x (occ 0.841) and 7x (occ 0.875)
+    saturation points, and scale sensibly with caption length."""
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import clip as CL
+    from gpt2_image_captioning_tpu.models import mapping as M
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    vcfg = CL.CLIPVisionConfig.tiny()
+    vparams = CL.init_vision(jax.random.PRNGKey(0), vcfg)
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=256, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    mcfg = M.MLPMappingConfig(
+        prefix_length=2, embed_dim=vcfg.projection_dim, gpt_dim=32
+    )
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    svc = ContinuousCaptionService(
+        model, vparams, vcfg, encoder="clip", slots=128, segment=8, bursts=16,
+        admit=32, max_length=50,
+    )
+    rec = svc.recommended_inflight(expected_len=49)
+    assert 5 * 128 < rec < 7 * 128, rec          # between the measured points
+    # shorter captions free rows faster -> need more backlog
+    assert svc.recommended_inflight(expected_len=10) > rec
+    # conservative default = half the cap
+    assert svc.recommended_inflight() == svc.recommended_inflight(expected_len=25)
