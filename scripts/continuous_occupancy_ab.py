@@ -78,10 +78,10 @@ def main() -> None:
     model.trainable, model.frozen = trainable, frozen
     emb_pool = np.random.default_rng(9).normal(size=(4096, 512)).astype(np.float32)
 
-    def make_svc(precision):
+    def make_svc(precision, slots=SLOTS, admit=ADMIT):
         return ContinuousCaptionService(
-            model, vparams, vcfg, encoder="clip", slots=SLOTS, segment=SEG,
-            bursts=BURSTS, admit=ADMIT, max_length=MAXLEN,
+            model, vparams, vcfg, encoder="clip", slots=slots, segment=SEG,
+            bursts=BURSTS, admit=admit, max_length=MAXLEN,
             decode_precision=precision,
         )
 
@@ -215,6 +215,30 @@ def main() -> None:
             f"wall/macro {dt / MEAS * 1000:6.1f} ms | adm/macro {np.mean(adm):.0f}")
         svc.drain()
 
+    def bigpool_leg(precision, slots, admit_n):
+        """Steady throughput at bigger pools with the population fix.
+
+        Pre-fix, steady slots=256 measured 1,782 bf16 / 2,002 int8
+        (scripts/continuous_steady_ab.py) — but that protocol's 3×slots
+        population starved the pool exactly like slots=128.  Correctly
+        populated, occupancy×(fixed-batch b=slots rate) predicts ~3,1xx at
+        256 and ~3,5xx at 512 int8.  ``admit`` must scale with the pool:
+        completions/macro ≈ slots·steps/len must not exceed bursts·admit or
+        admission caps occupancy structurally."""
+        svc = make_svc(precision, slots=slots, admit=admit_n)
+        pop = svc.recommended_inflight(expected_len=49)
+        nxt = [0]
+        for _ in range(pop):
+            svc.submit_embedding(emb_pool[nxt[0] % len(emb_pool)])
+            nxt[0] += 1
+        closed_loop(svc, 4, instrument=False)
+        rate, dt, st, occ, adm = closed_loop(svc, 12, instrument=True)
+        mo = float(np.mean(occ))
+        log(f"slots={slots} admit={admit_n} pop={pop} {precision}: "
+            f"{rate:7.1f} img/s | occupancy mean={mo:.3f} min={min(occ):.3f} | "
+            f"wall/macro {dt / 12 * 1000:6.1f} ms | adm/macro {np.mean(adm):.0f}")
+        svc.drain()
+
     legs_sel = os.environ.get("GIC_OCC_LEGS", "decomp,backlog")
     if "decomp" in legs_sel:
         for precision in ("bf16", "int8"):
@@ -225,6 +249,11 @@ def main() -> None:
             backlog_leg("bf16", mult)
         backlog_leg("int8", 5)
         backlog_leg("int8", 7)
+    if "bigpool" in legs_sel:
+        log("--- big-pool steady (population-corrected) ---")
+        for slots, admit_n in ((256, 64), (512, 128)):
+            for precision in ("bf16", "int8"):
+                bigpool_leg(precision, slots, admit_n)
 
     # fixed-batch anchor, same session (engine-free kernel loop)
     packed = C.prepare_decode_weights(trainable, frozen, ccfg, policy=policy)
