@@ -695,11 +695,15 @@ def main() -> None:
 
         model = C.ImageCaptioningModel(ccfg, tokenizer=_NullTokenizer(), policy=BF16)
         model.trainable, model.frozen = trainable, frozen  # share the bf16 copies
-        # seg=8/bursts=16 (128 tokens per dispatch): the tuned throughput
-        # point — 32-token macros can't amortize this box's ~24 ms dispatch
-        # roundtrip even pipelined (scripts/continuous_tune_ab2.py)
+        # seg=4/bursts=32 (128 tokens per dispatch): the round-5 tuned point.
+        # The macro must stay >=128 tokens to amortize this box's ~24 ms
+        # dispatch roundtrip (scripts/continuous_tune_ab2.py), and WITHIN
+        # that macro size finer admission granularity wins once the pool is
+        # correctly populated: occupancy 0.928 vs 0.873 at seg=8, +4-6%
+        # throughput (docs/ab_logs/continuous_occupancy_ab.log seg sweep —
+        # the old seg=8 choice was tuned under the starved protocol).
         svc = ContinuousCaptionService(
-            model, vparams, vcfg, encoder="clip", slots=128, segment=8, bursts=16,
+            model, vparams, vcfg, encoder="clip", slots=128, segment=4, bursts=32,
             admit=32, max_length=max_len, decode_precision="bf16",
         )
         emb_np = np.random.default_rng(9).normal(size=(1024, 512)).astype(np.float32)

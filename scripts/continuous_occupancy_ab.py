@@ -254,6 +254,29 @@ def main() -> None:
         for slots, admit_n in ((256, 64), (512, 128)):
             for precision in ("bf16", "int8"):
                 bigpool_leg(precision, slots, admit_n)
+    if "seg" in legs_sel:
+        # seg granularity re-tune at corrected population: seg=8 was chosen
+        # while the steady protocol ran starved (occupancy-insensitive);
+        # with occupancy at its seg-governed ceiling, halving seg lifts the
+        # refill-latency ceiling 0.875 -> ~0.92 IF the doubled admission-
+        # boundary machinery costs less than that 5%.
+        log("--- seg granularity at corrected population (128 tokens/macro) ---")
+        for seg_v, bursts_v in ((8, 16), (4, 32), (16, 8)):
+            for precision in ("bf16", "int8"):
+                svc = ContinuousCaptionService(
+                    model, vparams, vcfg, encoder="clip", slots=SLOTS,
+                    segment=seg_v, bursts=bursts_v, admit=ADMIT,
+                    max_length=MAXLEN, decode_precision=precision,
+                )
+                pop = svc.recommended_inflight(expected_len=49)
+                for i in range(pop):
+                    svc.submit_embedding(emb_pool[i % len(emb_pool)])
+                closed_loop(svc, 4, instrument=False)
+                rate, dt, st, occ, adm = closed_loop(svc, 12, instrument=True)
+                log(f"seg={seg_v} bursts={bursts_v} {precision}: "
+                    f"{rate:7.1f} img/s | occupancy mean={np.mean(occ):.3f} | "
+                    f"wall/macro {dt / 12 * 1000:6.1f} ms")
+                svc.drain()
 
     # fixed-batch anchor, same session (engine-free kernel loop)
     packed = C.prepare_decode_weights(trainable, frozen, ccfg, policy=policy)
