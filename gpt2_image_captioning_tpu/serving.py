@@ -449,6 +449,7 @@ class ContinuousCaptionService:
             # readback sync, host bookkeeping
             "dispatch_s": 0.0, "sync_s": 0.0, "host_s": 0.0,
         }
+        self._occ_sum, self._occ_n = 0.0, 0
 
     # -- request intake ------------------------------------------------------
     def _enqueue(
@@ -686,6 +687,13 @@ class ContinuousCaptionService:
         eos = self.cfg.eos_token_id
         toks_mat, uid_mat = out[:, 0], out[:, 1]     # (T, S)
         adm_first, adm_uid = out[:, 2], out[:, 3]    # (T, S), -1-padded
+        # occupancy telemetry: fraction of (step, row) cells live this macro.
+        # Sustained values well below ~0.9 under load almost always mean the
+        # in-system population is under recommended_inflight() — the
+        # root-caused failure mode of the round-5 occupancy decomposition —
+        # so surface it where operators look (stats["occupancy"]).
+        self._occ_sum += float((uid_mat >= 0).mean())
+        self._occ_n += 1
         # admissions, in time order (np.nonzero is row-major == step-major;
         # the engine left-aligns each step's admitted columns — per sub-pool
         # column block under a dp mesh)
@@ -823,6 +831,8 @@ class ContinuousCaptionService:
         s = dict(self._stats)
         if s["device_s"] > 0:
             s["img_per_s"] = s["images"] / s["device_s"]
+        if self._occ_n:
+            s["occupancy"] = self._occ_sum / self._occ_n
         if self._latencies:
             lat = np.sort(self._latencies)
             s["latency_p50_s"] = float(lat[len(lat) // 2])

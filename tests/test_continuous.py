@@ -288,6 +288,10 @@ def test_continuous_service_matches_one_shot(tmp_path):
         assert got == want
         assert svc.stats["images"] == 10
         assert svc.stats["macros"] > 2  # staggered admission, not one batch
+        # occupancy telemetry (round-5 starvation diagnostic): present and
+        # sane — this burst admits 10 requests into 3 slots, so the pool
+        # runs substantially occupied across the run
+        assert 0.0 < svc.stats["occupancy"] <= 1.0
         # pool is fully drained and reusable (idle rebase path)
         assert svc.step() == {}
         got2 = svc.caption_arrays(imgs[:2])
