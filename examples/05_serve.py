@@ -59,6 +59,11 @@ server.serve_forever()
 #   service.drain()
 #   captions = [service.pop_result(i) for i in ids]
 #
+#   # Sustained-load sizing: keep queued+live at or above
+#   # service.recommended_inflight() — an under-populated pool equilibrates
+#   # at partial occupancy with no restoring force (watch
+#   # service.stats["occupancy"]; docs/SERVING.md "Population sizing")
+#
 #   # or over HTTP — each request completes at its own length:
 #   server = serve_http_continuous(service, port=5152)
 #   # POST /caption?max_length=20&temperature=0.9&top_p=0.8
