@@ -35,7 +35,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-SLOTS, SEG, BURSTS, ADMIT, MAXLEN = 128, 8, 16, 32, 50
+SLOTS, ADMIT, MAXLEN = 128, 32, 50
+# macro granularity (overridable): the decomp/backlog sweeps ran the r3-tuned
+# seg=8/bursts=16; the seg sweep found seg=4/bursts=32 wins once populated
+SEG = int(os.environ.get("GIC_OCC_SEG", "8"))
+BURSTS = int(os.environ.get("GIC_OCC_BURSTS", "16"))
 WARM, MEAS = 8, 24
 STEPS = SEG * BURSTS
 
