@@ -907,3 +907,64 @@ def test_recommended_inflight_sizing():
     assert svc.recommended_inflight(expected_len=10) > rec
     # conservative default = half the cap
     assert svc.recommended_inflight() == svc.recommended_inflight(expected_len=25)
+
+
+def test_occupancy_responds_to_population():
+    """The round-5 root-caused mechanism, pinned in CI: a closed loop with
+    only ~1x-slots in-system equilibrates at partial pool occupancy, while
+    a population at recommended_inflight() holds the pool near-full — and
+    stats["occupancy"] makes the difference observable."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpt2_image_captioning_tpu.models import captioner as C
+    from gpt2_image_captioning_tpu.models import mapping as M
+    from gpt2_image_captioning_tpu.serving import ContinuousCaptionService
+
+    from helpers import tiny_tokenizer
+
+    tok = tiny_tokenizer()
+    gcfg = gpt2.GPT2Config(
+        vocab_size=len(tok.encoder), n_positions=64, n_embd=32, n_layer=2,
+        n_head=2,
+    )
+    mcfg = M.MLPMappingConfig(prefix_length=2, embed_dim=8, gpt_dim=32)
+    ccfg = C.CaptionerConfig(
+        gpt2=gcfg, mapping=mcfg, eos_token_id=len(tok.encoder) - 1
+    )
+    model = C.ImageCaptioningModel(ccfg, tokenizer=tok)
+    rng = np.random.default_rng(11)
+    emb_pool = rng.normal(size=(64, 8)).astype(np.float32)
+
+    def steady_occupancy(pop, macros=8):
+        svc = ContinuousCaptionService(
+            model, None, None, slots=4, segment=2, bursts=4, admit=4,
+            max_length=6,
+        )
+        nxt = [0]
+
+        def submit(k):
+            for _ in range(k):
+                svc.submit_embedding(emb_pool[nxt[0] % len(emb_pool)])
+                nxt[0] += 1
+
+        submit(pop)
+        with pltpu.force_tpu_interpret_mode():
+            for _ in range(3):  # warm to the equilibrium
+                submit(len(svc.step()))
+            svc._occ_sum, svc._occ_n = 0.0, 0
+            for _ in range(macros):
+                submit(len(svc.step()))
+            occ = svc.stats["occupancy"]
+            svc.drain()
+        return occ
+
+    starved = steady_occupancy(4)
+    rec = None
+    svc_probe = ContinuousCaptionService(
+        model, None, None, slots=4, segment=2, bursts=4, admit=4, max_length=6
+    )
+    rec = svc_probe.recommended_inflight(expected_len=6)
+    populated = steady_occupancy(rec)
+    assert populated > starved + 0.15, (starved, populated, rec)
+    # tiny-geometry ceiling: len/(len + seg/2 + stagger) ~ 0.78 at len=6
+    assert populated > 0.7, populated
