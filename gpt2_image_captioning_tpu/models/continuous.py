@@ -74,7 +74,7 @@ def init_state(cfg: CaptionerConfig, slots: int, t_max: int, prefix_len: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "policy", "seg", "bursts", "admit", "temperature",
-                     "top_p", "sampled", "sample_in_kernel"),
+                     "top_p", "sampled", "sample_in_kernel", "admit_affinity"),
     donate_argnums=(3,),
 )
 def macro_step(
@@ -99,6 +99,7 @@ def macro_step(
     top_p: float = 1.0,
     sampled: bool | None = None,
     sample_in_kernel: bool = False,
+    admit_affinity: bool = False,
 ) -> tuple[dict, jnp.ndarray]:
     """``bursts*seg`` fused decode steps with admission every ``seg``-th
     step, compiled as ONE program (a single flat ``lax.scan``).
@@ -217,13 +218,34 @@ def macro_step(
     # and one dynamic_update_slice writes the (L, P, S, D) cache window —
     # once per burst, so the window traffic (~0.1 ms) amortizes over ``seg``
     # steps.
+    # kernel batch-block width (mirrors ops/decode_step.py's choice): used
+    # by the age-affine admission policy below
+    tw = packed["qkvw"].shape[-1]
+    blk_w = 256 if (s % 256 == 0 and tw <= 384) else 128
+
     def burst_fn(carry, _):
         (k, v, idx, start, prev, finished, gen, cap, uid, temp, topp,
          qhead, tstep) = carry
 
         # -- admission (burst entry): free rows × staged requests ----------
         free = finished
-        order = jnp.argsort(jnp.where(free, 0, 1), stable=True)  # free first
+        if admit_affinity and s % blk_w == 0 and s > blk_w:
+            # age-affine admission: prefer the kernel batch block with the
+            # most free rows.  Measured-REJECTED as default (on-chip A/B,
+            # docs/ab_logs/continuous_occupancy_ab.log 17:58 session: loses
+            # 2.5-5% at every pool) — the default lowest-free-row-first
+            # order already clusters ages into low blocks for the kernel's
+            # per-block chunk skip, and this key computation costs ~10 ms
+            # per macro.  Kept as an opt-in for workloads whose length
+            # spread breaks the natural clustering.
+            # Exact for any row choice — only WHICH free rows admit changes.
+            blk_free = free.reshape(s // blk_w, blk_w).sum(axis=1)
+            key = jnp.where(
+                free, -blk_free[jnp.arange(s) // blk_w], jnp.int32(s + 1)
+            )
+        else:
+            key = jnp.where(free, 0, 1)
+        order = jnp.argsort(key, stable=True)  # free (emptiest block) first
         rows = order[:admit]                                     # (A,)
         ntake = jnp.minimum(jnp.minimum(jnp.sum(free), n_q - qhead), admit)
         valid = jnp.arange(admit) < ntake
@@ -396,7 +418,8 @@ def init_state_dp(cfg: CaptionerConfig, dp: int, slots: int, t_max: int,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "cfg", "policy", "seg", "bursts", "admit",
-                     "temperature", "top_p", "sampled", "sample_in_kernel"),
+                     "temperature", "top_p", "sampled", "sample_in_kernel",
+                     "admit_affinity"),
     donate_argnums=(4,),
 )
 def macro_step_dp(
@@ -422,6 +445,7 @@ def macro_step_dp(
     top_p: float = 1.0,
     sampled: bool | None = None,
     sample_in_kernel: bool = False,
+    admit_affinity: bool = False,
 ) -> tuple[dict, jnp.ndarray]:
     """Data-parallel continuous serving: ``dp`` independent sub-pools, one
     :func:`macro_step` per device, compiled as ONE ``shard_map`` program.
@@ -461,7 +485,7 @@ def macro_step_dp(
             rng_l, temp_q, topp_q,
             cfg=cfg, policy=policy, seg=seg, bursts=bursts, admit=admit,
             temperature=temperature, top_p=top_p, sampled=sampled,
-            sample_in_kernel=sample_in_kernel,
+            sample_in_kernel=sample_in_kernel, admit_affinity=admit_affinity,
         )
         st2 = dict(st2, idx=st2["idx"][None], t=st2["t"][None])
         return st2, out

@@ -110,9 +110,13 @@ def _beam_gather(x3: jnp.ndarray, delta: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _step_kernel(
-    # scalar prefetch: [idx, c0, seed] — c0 = first attention chunk with any
-    # live row (continuous batching skips chunks older than every row's
-    # start); seed feeds the hardware PRNG (sample mode only, else 0)
+    # scalar prefetch: [idx, c0, seed, blk_c0[0..nb)] — c0 = first attention
+    # chunk with any live row pool-wide; blk_c0[bi] = the same bound PER
+    # BATCH BLOCK (continuous batching skips chunks older than every
+    # block-row's start — with age-affine admission, blocks of similar-age
+    # rows walk ~their own window instead of the pool-wide one, and
+    # all-dead blocks skip the cache walk entirely); seed feeds the
+    # hardware PRNG (sample mode only, else 0)
     idx_ref,
     # VMEM inputs
     x_ref,          # (BB, D) compute dtype — wte[token] + wpe[local position]
@@ -219,7 +223,10 @@ def _step_kernel(
     bi = pl.program_id(0)
     bb = x_ref.shape[0]
     idx = idx_ref[0]
-    c0 = idx_ref[1]
+    # per-block chunk skip: blk_c0[bi] >= the pool-wide c0 (idx_ref[1]) by
+    # construction in the wrapper, and chunks below a block's min(start) are
+    # fully masked for every row of the block — skipping them is exact
+    c0 = idx_ref[3 + bi]
     nchunks = (idx + ct - 1) // ct
     scale = 1.0 / math.sqrt(d // n_head)
     cdt = x_ref.dtype
@@ -1130,6 +1137,22 @@ def fused_decode_step(
             origin = jnp.concatenate([origin.astype(jnp.int32), pad_rows], axis=1)
     bp = x0.shape[0]
     nb = bp // bb
+    # per-block first-live-chunk bounds (kernel walk starts at blk_c0[bi]):
+    # padded rows are excluded via a tpad fill so a ragged tail block keeps
+    # its real rows' bound; in continuous serving dead rows carry start=idx,
+    # so an all-dead block's bound reaches nchunks and its walk vanishes
+    if start is None:
+        blk_c0 = jnp.zeros((nb,), jnp.int32)
+    else:
+        start_min = (
+            jnp.concatenate(
+                [start.astype(jnp.int32),
+                 jnp.full((pad_b,), tpad, jnp.int32)]
+            )
+            if pad_b
+            else startv
+        )
+        blk_c0 = start_min.reshape(nb, bb).min(axis=1) // ct
     if origin is not None:
         # chunk-major 3D layout: the kernel DMAs plane c per chunk (see
         # _step_kernel's origin comment for why 2D sub-tile slices fail)
@@ -1372,9 +1395,12 @@ def fused_decode_step(
         interpret=interpret,
         **extra,
     )(
-        jnp.stack(
-            [jnp.asarray(idx, jnp.int32).reshape(()), c0.astype(jnp.int32), seed]
-        ),
+        jnp.concatenate([
+            jnp.stack(
+                [jnp.asarray(idx, jnp.int32).reshape(()), c0.astype(jnp.int32), seed]
+            ),
+            blk_c0,
+        ]),
         x0,
         startv[None, :],
         packed["ln1s"], packed["ln1b"], packed["ln2s"], packed["ln2b"],

@@ -330,6 +330,7 @@ class ContinuousCaptionService:
         spec=None,
         pipeline_depth: int = 1,
         mesh=None,
+        admit_affinity: bool = False,
     ):
         from gpt2_image_captioning_tpu.models import captioner as C
         from gpt2_image_captioning_tpu.models import continuous as CE
@@ -365,6 +366,11 @@ class ContinuousCaptionService:
         # admit is PER SUB-POOL (each device admits into its own rows)
         self.admit = min(admit if admit is not None else 32, slots // self._dp)
         self.max_length = max_length
+        # age-affine admission (models/continuous.py): measured-rejected
+        # default-off — lowest-free-first already age-clusters blocks for
+        # the kernel's per-block chunk skip (docs/PERF_NOTES.md round 5);
+        # opt-in for workloads whose length spread defeats that
+        self.admit_affinity = bool(admit_affinity)
         self.temperature, self.top_p = float(temperature), float(top_p)
         # sampled mode compiles the emit-logits macro with PER-ROW
         # temperature/top_p (models/continuous.py): every request may carry
@@ -648,6 +654,7 @@ class ContinuousCaptionService:
                 bursts=self.bursts, admit=self.admit,
                 temperature=self.temperature, top_p=self.top_p,
                 sampled=self.sampled, sample_in_kernel=self.sample_in_kernel,
+                admit_affinity=self.admit_affinity,
             )
         else:
             n_vec = np.asarray([len(se) for se in shard_entries], np.int32)
@@ -660,6 +667,7 @@ class ContinuousCaptionService:
                 bursts=self.bursts, admit=self.admit,
                 temperature=self.temperature, top_p=self.top_p,
                 sampled=self.sampled, sample_in_kernel=self.sample_in_kernel,
+                admit_affinity=self.admit_affinity,
             )
         self._inflight.append((out, shard_entries))
         self._stats["macros"] += 1

@@ -82,11 +82,11 @@ def main() -> None:
     model.trainable, model.frozen = trainable, frozen
     emb_pool = np.random.default_rng(9).normal(size=(4096, 512)).astype(np.float32)
 
-    def make_svc(precision, slots=SLOTS, admit=ADMIT):
+    def make_svc(precision, slots=SLOTS, admit=ADMIT, **kw):
         return ContinuousCaptionService(
             model, vparams, vcfg, encoder="clip", slots=slots, segment=SEG,
             bursts=BURSTS, admit=admit, max_length=MAXLEN,
-            decode_precision=precision,
+            decode_precision=precision, **kw,
         )
 
     def closed_loop(svc, n_macros, instrument, timeit=True):
@@ -258,6 +258,29 @@ def main() -> None:
         for slots, admit_n in ((256, 64), (512, 128)):
             for precision in ("bf16", "int8"):
                 bigpool_leg(precision, slots, admit_n)
+    if "affin" in legs_sel:
+        # A/B: age-affine admission + the kernel's per-block chunk skip
+        # (blk_c0) vs the old lowest-free-row-first policy.  Affinity only
+        # changes WHICH free rows admit (exact either way); the win is KV
+        # reads — blocks of similar-age rows walk their own window.
+        log("--- age-affine admission A/B (per-block chunk skip) ---")
+        for slots, admit_n, precision in (
+            (512, 128, "int8"), (512, 128, "bf16"), (256, 64, "int8"),
+        ):
+            for affin in (False, True):
+                svc = make_svc(precision, slots=slots, admit=admit_n,
+                               admit_affinity=affin)
+                pop = svc.recommended_inflight(expected_len=49)
+                nxt = [0]
+                for _ in range(pop):
+                    svc.submit_embedding(emb_pool[nxt[0] % len(emb_pool)])
+                    nxt[0] += 1
+                closed_loop(svc, 4, instrument=False)
+                rate, dt, st, occ, adm = closed_loop(svc, 12, instrument=True)
+                log(f"slots={slots} {precision} affinity={int(affin)}: "
+                    f"{rate:7.1f} img/s | occ {np.mean(occ):.3f} | "
+                    f"wall/macro {dt / 12 * 1000:6.1f} ms")
+                svc.drain()
     if "seg" in legs_sel:
         # seg granularity re-tune at corrected population: seg=8 was chosen
         # while the steady protocol ran starved (occupancy-insensitive);

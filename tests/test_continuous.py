@@ -968,3 +968,48 @@ def test_occupancy_responds_to_population():
     assert populated > starved + 0.15, (starved, populated, rec)
     # tiny-geometry ceiling: len/(len + seg/2 + stagger) ~ 0.78 at len=6
     assert populated > 0.7, populated
+
+
+def test_fused_step_per_block_c0_exact_across_blocks():
+    """The per-block chunk-skip (blk_c0 scalar-prefetch entries): two batch
+    blocks with very different row ages must reproduce the single-block
+    result exactly — block 1's rows are young (start high, walk skips
+    early chunks for that block only), block 0's are old."""
+    cfg = _cfg()
+    params = gpt2.init(jax.random.PRNGKey(2), cfg)
+    packed = DS.pack_decode_weights(params, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    b, tpad, idx0 = 16, 64, 40
+    k = jnp.asarray(rng.normal(size=(cfg.n_layer, tpad, b, cfg.n_embd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(cfg.n_layer, tpad, b, cfg.n_embd)).astype(np.float32))
+    x0 = jnp.asarray(rng.normal(size=(b, cfg.n_embd)).astype(np.float32))
+    # block 0 (rows 0-7): old rows, start in [2, 10); block 1 (rows 8-16):
+    # young rows, start in [32, 40) — with block_b=8 the second block's
+    # blk_c0 skips chunks 0..3 entirely (ct=8)
+    start = jnp.asarray(
+        [2 + i for i in range(8)] + [32 + i for i in range(8)], jnp.int32
+    )
+    tok_blocked, kb, vb = DS.fused_decode_step(
+        packed, x0, k, v, jnp.asarray(idx0, jnp.int32),
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        start=start, block_b=8,
+    )
+    tok_single, ks, vs = DS.fused_decode_step(
+        packed, x0, k, v, jnp.asarray(idx0, jnp.int32),
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        start=start, block_b=16,
+    )
+    np.testing.assert_array_equal(np.asarray(tok_blocked), np.asarray(tok_single))
+    np.testing.assert_allclose(np.asarray(kb), np.asarray(ks), atol=1e-6)
+    # emit-logits mode takes the same skip path: logits must agree too
+    lg_b, _, _ = DS.fused_decode_step(
+        packed, x0, k, v, jnp.asarray(idx0, jnp.int32),
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        start=start, block_b=8, emit_logits=True,
+    )
+    lg_s, _, _ = DS.fused_decode_step(
+        packed, x0, k, v, jnp.asarray(idx0, jnp.int32),
+        n_head=cfg.n_head, vocab=cfg.vocab_size, interpret=True,
+        start=start, block_b=16, emit_logits=True,
+    )
+    np.testing.assert_allclose(np.asarray(lg_b), np.asarray(lg_s), atol=1e-4)
