@@ -321,9 +321,12 @@ def main() -> None:
 
         log("compiling len-26 decode for the marginal-step measurement...")
         _, t_short = timed_batches(ours_short, batch)
-        if headline["value"] is None:
-            return
-        t_long = batch / headline["value"]
+        # re-time the len-50 decode HERE, back to back with the len-26 run:
+        # subtracting the headline leg's timing (minutes earlier) is
+        # transient-sensitive on this shared box — session 3 produced an
+        # impossible 149%-of-floor from exactly that (the ours() program is
+        # already compiled, so this costs ~0.4 s)
+        _, t_long = timed_batches(ours, batch)
         step_ms = (t_long - t_short) / (max_len - short_len) * 1000
         # analytic HBM floor of one fused decode step at this config:
         # block weight stream + tied-vocab logits walk + avg valid KV read
